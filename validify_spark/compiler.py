@@ -1,0 +1,333 @@
+"""Rule compiler: lowers the Rule IR to vectorized Spark Column expressions.
+
+Analog of the reference's codegen (validify_derive/src/tokens.rs:80-264):
+where the proc macro emits one inlined ``if !check {...}`` block per rule,
+we emit one Column expression per rule — an ``array<violation-struct>``
+that is empty when the rule passes — and fuse ALL rules into a single
+projection so the table is scanned once (SURVEY.md §4.2 "rule fusion").
+Catalyst then gives CSE + whole-stage codegen for free.
+
+Option semantics (fields.rs:355-396): every rule except ``required`` passes
+on NULL — compiled as ``c.isNull() | pred``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Optional
+
+from pyspark.sql import Column, functions as F, types as T
+
+from .rules import Rule
+from .validators import sql_builders as V
+from .validators import udf_tier as U
+
+# The uniform violation element type — every rule compiles to an array of
+# these (usually 0/1 elements; iter rules may emit several). Mirrors
+# ValidationError::Field (validify/src/error.rs:5-35).
+VIOLATION_STRUCT_DDL = (
+    "struct<rule_id:string,field:string,location:string,"
+    "code:string,message:string,params:map<string,string>>"
+)
+VIOLATION_ARRAY_DDL = f"array<{VIOLATION_STRUCT_DDL}>"
+
+
+def empty_violations() -> Column:
+    return F.array().cast(VIOLATION_ARRAY_DDL)
+
+
+def make_violation(rule_id: str, field: Optional[str], location,
+                   code: str, message: Optional[str],
+                   params: dict) -> Column:
+    """Build one violation struct. ``params`` values are Columns (cast to
+    string — the reference serializes params as JSON values,
+    tokens.rs:318-341); ``location`` is a str or Column."""
+    loc = location if isinstance(location, Column) else F.lit(location)
+    if params:
+        kv = []
+        for k, v in params.items():
+            vc = v if isinstance(v, Column) else F.lit(v)
+            kv += [F.lit(k), vc.cast("string")]
+        pmap = F.create_map(*kv)
+    else:
+        pmap = F.lit(None).cast("map<string,string>")
+    return F.struct(
+        F.lit(rule_id).alias("rule_id"),
+        (F.lit(field) if field is not None
+         else F.lit(None)).cast("string").alias("field"),
+        loc.cast("string").alias("location"),
+        F.lit(code).alias("code"),
+        F.lit(message).cast("string").alias("message"),
+        pmap.alias("params"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# type resolution for dotted paths
+# ---------------------------------------------------------------------------
+
+
+def resolve_type(schema: T.StructType, dotted: str) -> Optional[T.DataType]:
+    cur: T.DataType = schema
+    for part in dotted.split("."):
+        if isinstance(cur, T.StructType):
+            try:
+                cur = cur[part].dataType
+            except KeyError:
+                return None
+        else:
+            return None
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# per-kind pass predicates (+ violation params)
+# ---------------------------------------------------------------------------
+
+
+def _length_count(c: Column, dtype: Optional[T.DataType]) -> Column:
+    # strings count chars not bytes (traits.rs:26-42 uses .chars().count());
+    # arrays/maps count elements (traits.rs:44-96)
+    if isinstance(dtype, (T.ArrayType, T.MapType)):
+        return F.size(c)
+    return F.length(c)
+
+
+def ok_and_params(rule: Rule, c: Column, dtype: Optional[T.DataType],
+                  run_ts: _dt.datetime):
+    """Return (ok_predicate, params_dict) for a rule applied to Column ``c``.
+
+    ``ok`` is True ⇔ the value PASSES. NULL handling is applied by the
+    caller (compile_rule), not here.
+    """
+    p = rule.params
+    kind = rule.kind
+
+    if kind == "length":
+        n = _length_count(c, dtype)
+        mn, mx, eq = p.get("min"), p.get("max"), p.get("equal")
+        if eq is not None:
+            ok = n == F.lit(eq)  # equal overrides (length.rs:8-32)
+            prm = {"actual": n, "equal": F.lit(eq)}
+        else:
+            ok = F.lit(True)
+            prm = {"actual": n}
+            if mn is not None:
+                ok = ok & (n >= F.lit(mn))
+                prm["min"] = F.lit(mn)
+            if mx is not None:
+                ok = ok & (n <= F.lit(mx))
+                prm["max"] = F.lit(mx)
+        return ok, prm
+
+    if kind == "range":
+        # inclusive bounds, compared as f64 (range.rs:4-22; tokens.rs:410-427)
+        v = c.cast("double")
+        mn, mx = p.get("min"), p.get("max")
+        ok = F.lit(True)
+        prm = {"actual": c}
+        if mn is not None:
+            ok = ok & (v >= F.lit(float(mn)))
+            prm["min"] = F.lit(float(mn))
+        if mx is not None:
+            ok = ok & (v <= F.lit(float(mx)))
+            prm["max"] = F.lit(float(mx))
+        return ok, prm
+
+    if kind == "required":
+        return c.isNotNull(), {}
+
+    if kind == "regex":
+        # unanchored search, same as Regex::is_match (tokens.rs:594-618)
+        return c.rlike(p["pattern"]), {"actual": c}
+
+    if kind == "non_control_char":
+        # Unicode Cc = U+0000-U+001F + U+007F-U+009F
+        # (unic_ucd_common::control; non_control_char.rs:3-12)
+        return ~c.rlike(r"[\x00-\x1F\x7F-\x9F]"), {"actual": c}
+
+    if kind == "contains" or kind == "contains_not":
+        v = p["value"]
+        if isinstance(dtype, T.ArrayType):
+            ok = F.array_contains(c, v)
+        elif isinstance(dtype, T.MapType):
+            # map containment = KEY membership (traits.rs:158-180)
+            ok = F.map_contains_key(c, F.lit(v))
+        else:
+            ok = c.contains(F.lit(v))
+        if kind == "contains_not":
+            ok = ~ok
+        return ok, {"actual": c, "target": F.lit(v)}
+
+    if kind == "is_in":
+        return c.isin(*p["values"]), {"actual": c}
+
+    if kind == "not_in":
+        return ~c.isin(*p["values"]), {"actual": c}
+
+    if kind == "must_match":
+        other = F.col(p["other"])
+        return c.eqNullSafe(other), {"actual": c, "target": other}
+
+    if kind == "email":
+        return V.email_ok(c, with_slow_path=p.get("slow_path", True)), {
+            "actual": c}
+
+    if kind == "url":
+        return U.url_ok(c), {"actual": c}
+
+    if kind == "ip":
+        fmt = p.get("format")
+        if fmt == "v4":
+            ok = V.ipv4_ok(c)
+        elif fmt == "v6":
+            ok = U.ipv6_ok(c)
+        else:
+            ok = V.ipv4_ok(c) | U.ipv6_ok(c)
+        return ok, {"actual": c}
+
+    if kind == "phone":
+        return U.phone_ok(c), {"actual": c}
+
+    if kind == "credit_card":
+        return V.credit_card_ok(c), {"actual": c}
+
+    if kind == "custom":
+        return p["builder"](c), {"actual": c}
+
+    if kind == "time":
+        return _time_ok(rule, c, run_ts)
+
+    raise ValueError(f"ok_and_params: unsupported kind {kind}")
+
+
+def _coerce_target(p: dict) -> Optional[_dt.datetime]:
+    tgt = p.get("target")
+    if isinstance(tgt, str):
+        return _dt.datetime.strptime(tgt, p["format"])
+    return tgt
+
+
+def _time_ok(rule: Rule, c: Column, run_ts: _dt.datetime):
+    """The 7 time ops (validify/src/validation/time.rs:3-87). All bound
+    arithmetic is folded driver-side into literals (constant folding the
+    reference does at parse time, parser.rs:455-483)."""
+    p = rule.params
+    op = p["op"]
+    inclusive = bool(p.get("inclusive", False))
+    dur = _dt.timedelta(seconds=p.get("interval_seconds", 0))
+
+    if p.get("target_column"):
+        tlit: Column = F.col(p["target_column"])
+        tstr: Column = tlit
+    else:
+        t = _coerce_target(p)
+        tlit = F.lit(t) if t is not None else None
+        tstr = tlit
+
+    if op == "before":
+        ok = (c <= tlit) if inclusive else (c < tlit)
+        return ok, {"actual": c, "target": tstr}
+    if op == "after":
+        ok = (c >= tlit) if inclusive else (c > tlit)
+        return ok, {"actual": c, "target": tstr}
+    if op == "before_now":
+        return c < F.lit(run_ts), {"actual": c, "target": F.lit(run_ts)}
+    if op == "after_now":
+        return c > F.lit(run_ts), {"actual": c, "target": F.lit(run_ts)}
+    if op == "before_from_now":
+        # now - actual >= duration  ⇔  actual <= now - duration (time.rs:39-44)
+        bound = run_ts - dur
+        return c <= F.lit(bound), {"actual": c, "target": F.lit(bound)}
+    if op == "after_from_now":
+        # actual - now >= duration (time.rs:46-49)
+        bound = run_ts + dur
+        return c >= F.lit(bound), {"actual": c, "target": F.lit(bound)}
+    if op == "in_period":
+        t = _coerce_target(p)
+        lo, hi = (t, t + dur) if dur >= _dt.timedelta(0) else (t + dur, t)
+        return c.between(F.lit(lo), F.lit(hi)), {
+            "actual": c, "from": F.lit(lo), "to": F.lit(hi)}
+    raise ValueError(f"unknown time op {op}")
+
+
+# ---------------------------------------------------------------------------
+# rule → array<violation> Column
+# ---------------------------------------------------------------------------
+
+
+def compile_rule(rule: Rule, schema: T.StructType,
+                 run_ts: _dt.datetime) -> Column:
+    """Compile one rule into an ``array<violation-struct>`` Column
+    (empty array ⇔ pass)."""
+    if rule.kind == "schema":
+        raise ValueError("schema rules are compiled by the engine")
+
+    if rule.kind == "iter":
+        return _compile_iter(rule, schema, run_ts)
+
+    c = F.col(rule.column)
+    dtype = resolve_type(schema, rule.column)
+    ok, prm = ok_and_params(rule, c, dtype, run_ts)
+
+    viol = make_violation(
+        rule.rule_id, rule.display_name or rule.column.split(".")[-1],
+        rule.location, rule.effective_code, rule.message, prm)
+    one = F.array(viol).cast(VIOLATION_ARRAY_DDL)
+
+    if rule.kind == "required":
+        # the only validator that fires on NULL (required.rs:2-5)
+        return F.when(ok, empty_violations()).otherwise(one)
+    # NULL passes every other rule (fields.rs:355-396)
+    return F.when(c.isNull() | ok, empty_violations()).otherwise(one)
+
+
+def _compile_iter(rule: Rule, schema: T.StructType,
+                  run_ts: _dt.datetime) -> Column:
+    """Per-element validation on an array column with index-suffixed
+    locations (tokens.rs:167-235; golden '/test/1' iter.rs:26).
+
+    Implemented as a higher-order ``transform`` with the 2-arg (element,
+    index) lambda — stays in codegen, no explode/shuffle.
+    """
+    inner: Rule = rule.params["inner"]
+    arr = F.col(rule.column)
+    atype = resolve_type(schema, rule.column)
+    etype = atype.elementType if isinstance(atype, T.ArrayType) else None
+    sub = inner.column  # optional subfield of struct elements
+
+    base_loc = rule.location
+    field_name = (rule.display_name or rule.column.split(".")[-1])
+
+    def per_element(x: Column, i: Column) -> Column:
+        elem = x[sub] if sub else x
+        edt = (resolve_type(etype, sub)
+               if (sub and isinstance(etype, T.StructType)) else etype)
+        ok, prm = ok_and_params(inner, elem, edt, run_ts)
+        loc = F.concat(F.lit(base_loc + "/"), i.cast("string"),
+                       F.lit("/" + sub) if sub else F.lit(""))
+        viol = make_violation(rule.rule_id, field_name, loc,
+                              inner.effective_code, inner.message
+                              or rule.message, prm)
+        passes = elem.isNull() | ok
+        if inner.kind == "required":
+            passes = ok
+        return F.when(passes, F.lit(None).cast(VIOLATION_STRUCT_DDL)) \
+                .otherwise(viol)
+
+    viols = F.filter(F.transform(arr, per_element),
+                     lambda v: v.isNotNull())
+    # NULL array passes (option-of-array, iter.rs option cases)
+    return F.when(arr.isNull(), empty_violations()).otherwise(viols)
+
+
+def compile_schema_rule(rule: Rule, df) -> Column:
+    """Whole-row predicate → 0/1-element violation array; location '/'
+    and no field, like ValidationError::Schema (error.rs:62-68)."""
+    pred = rule.params["predicate"]
+    ok = F.expr(pred) if isinstance(pred, str) else pred(df)
+    viol = make_violation(rule.rule_id, None, "/", rule.effective_code,
+                          rule.message, {})
+    one = F.array(viol).cast(VIOLATION_ARRAY_DDL)
+    # a NULL predicate result counts as failure (unknown ⇒ not proven ok)
+    return F.when(ok, empty_violations()).otherwise(one)

@@ -1,0 +1,171 @@
+"""ValidationEngine — compiles a RuleSet against a DataFrame and produces
+the violations table + normalized view + per-partition verdicts.
+
+Execution shape (SURVEY.md §3.4): ONE wide projection evaluates every
+rule (array-of-violation-struct per rule, flattened), so the source is
+scanned once regardless of rule count; Catalyst CSE folds repeated
+subexpressions (e.g. five rules on the same column) and whole-stage
+codegen inlines the predicates — the distributed analog of the
+reference's monomorphized straight-line `validate()`
+(validify_derive/src/tokens.rs:80-264).
+
+Violations-table schema (§2.6):
+  <key cols...>, rule_id, field, location, code, message,
+  params map<string,string>
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import compiler as C
+from .modifiers import apply_modifiers
+from .rules import Rule, RuleSet
+
+
+def _utcnow() -> _dt.datetime:
+    return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+
+
+@dataclass
+class ValidationResult:
+    normalized: DataFrame
+    violations: DataFrame
+    key_cols: Sequence[str]
+
+    def summary(self) -> DataFrame:
+        return (self.violations
+                .groupBy("rule_id", "code")
+                .agg(F.count("*").alias("n_violations"))
+                .orderBy("rule_id"))
+
+    def is_valid(self) -> bool:
+        return self.violations.isEmpty()
+
+
+class ValidationEngine:
+    """Analog of a ``#[derive(Validify)]`` impl, lifted to tables.
+
+    ``validate`` = modify-then-validate (validify/impl.rs:44-48);
+    presence ("payload") rules gate main rules per row
+    (payload/impl.rs:17-53 short-circuit → F.when wrapping, §2.4).
+    """
+
+    def __init__(self, ruleset: RuleSet, key_cols: Sequence[str],
+                 run_ts: Optional[_dt.datetime] = None,
+                 dedup: bool = False):
+        self.ruleset = ruleset
+        self.key_cols = list(key_cols)
+        # pinned run timestamp: every time-vs-now rule folds against this
+        # one constant — deterministic within a run (SURVEY.md §4.2)
+        self.run_ts = run_ts or _utcnow()
+        self.dedup = dedup
+
+    # -- normalization (modifiers) ----------------------------------------
+    def normalize(self, df: DataFrame) -> DataFrame:
+        return apply_modifiers(df, self.ruleset.modifiers)
+
+    # -- violations --------------------------------------------------------
+    def _violations_array(self, df: DataFrame):
+        """Build the single flattened array<violation> Column."""
+        schema = df.schema
+        presence = self.ruleset.presence_rules
+        main = [r for r in self.ruleset.main_rules if r.kind != "schema"]
+        schema_rules = [r for r in self.ruleset.main_rules
+                        if r.kind == "schema"]
+
+        presence_arrays = [C.compile_rule(r, schema, self.run_ts)
+                           for r in presence]
+        if presence_arrays:
+            presence_ok = F.size(F.flatten(F.array(*presence_arrays))) == 0
+        else:
+            presence_ok = F.lit(True)
+
+        arrays = list(presence_arrays)
+        for r in main:
+            arr = C.compile_rule(r, schema, self.run_ts)
+            if presence:
+                # presence failure suppresses later-stage rules for the row
+                arr = F.when(presence_ok, arr).otherwise(
+                    C.empty_violations())
+            arrays.append(arr)
+        # schema (whole-row) rules run last, never short-circuited
+        # (schema.rs:183-212)
+        for r in schema_rules:
+            arr = C.compile_schema_rule(r, df)
+            if presence:
+                arr = F.when(presence_ok, arr).otherwise(
+                    C.empty_violations())
+            arrays.append(arr)
+
+        if not arrays:
+            return C.empty_violations()
+        return F.flatten(F.array(*arrays))
+
+    def violations(self, df: DataFrame,
+                   pre_normalized: bool = False) -> DataFrame:
+        src = df if pre_normalized else self.normalize(df)
+        viol = self._violations_array(src)
+        out = (src
+               .select(*self.key_cols, viol.alias("_v"))
+               .filter(F.size("_v") > 0)
+               .select(*self.key_cols, F.explode("_v").alias("v"))
+               .select(*self.key_cols, "v.*"))
+        if self.dedup:
+            # ValidationErrors::merge dedup semantics (error.rs:222-231)
+            out = (out
+                   .withColumn("_p", F.to_json("params"))
+                   .dropDuplicates(self.key_cols
+                                   + ["location", "code", "_p"])
+                   .drop("_p"))
+        return out
+
+    # -- row-level pass flag (for gating downstream pipelines) -------------
+    def with_valid_flag(self, df: DataFrame,
+                        flag: str = "is_valid") -> DataFrame:
+        src = self.normalize(df)
+        return src.withColumn(
+            flag, F.size(self._violations_array(src)) == 0)
+
+    # -- full run -----------------------------------------------------------
+    def validate(self, df: DataFrame) -> ValidationResult:
+        normalized = self.normalize(df)
+        return ValidationResult(
+            normalized=normalized,
+            violations=self.violations(normalized, pre_normalized=True),
+            key_cols=self.key_cols,
+        )
+
+    # -- per-partition verdicts (north_rule: per-partition pass/fail) -------
+    def partition_report(self, df: DataFrame, partition_col) -> DataFrame:
+        """One row per partition: total rows, failing rows, pass verdict.
+        ``partition_col``: column name or Column expression."""
+        src = self.normalize(df)
+        pc = F.col(partition_col) if isinstance(partition_col, str) \
+            else partition_col
+        failed = (F.size(self._violations_array(src)) > 0).cast("long")
+        return (src
+                .groupBy(pc.alias("partition_id"))
+                .agg(F.count("*").alias("n_rows"),
+                     F.sum(failed).alias("n_failed_rows"))
+                .withColumn("passed", F.col("n_failed_rows") == 0))
+
+
+def validate(df: DataFrame, rules: list, key_cols: Sequence[str],
+             modifiers: Optional[list] = None,
+             run_ts: Optional[_dt.datetime] = None,
+             name: str = "ruleset") -> ValidationResult:
+    """One-shot convenience: build RuleSet + engine, run validate."""
+    rs = RuleSet(rules=list(rules), modifiers=list(modifiers or []),
+                 name=name)
+    return ValidationEngine(rs, key_cols, run_ts=run_ts).validate(df)
+
+
+def rule_of(kind_or_rule, **kw) -> Rule:
+    if isinstance(kind_or_rule, Rule):
+        return kind_or_rule
+    return Rule(kind=kind_or_rule, **kw)

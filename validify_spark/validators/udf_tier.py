@@ -1,0 +1,181 @@
+"""Arrow-vectorized pandas UDF tier — the slow path, used only where SQL
+cannot express the reference's exact semantics (SURVEY.md §2.9: "no
+per-row Python anywhere — only vectorized pandas/Arrow UDFs").
+
+Every UDF here is ``pd.Series -> pd.Series`` batch-at-a-time; NULL in ⇒
+NULL out, so callers can gate work by feeding NULL for already-decided
+rows (two-tier dispatch).
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+import urllib.parse
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+# optional exact phone metadata (libphonenumber lineage, like the
+# reference's `phonenumber` crate — validify/src/validation/phone.rs:1-11)
+try:  # pragma: no cover - availability depends on environment
+    import phonenumbers as _phonenumbers
+except Exception:  # noqa: BLE001
+    _phonenumbers = None
+
+
+def _apply_bool(s: pd.Series, fn) -> pd.Series:
+    out = s.map(lambda v: None if v is None else bool(fn(v)))
+    return out.astype("boolean")
+
+
+# ---------------------------------------------------------------------------
+# ipv6 / ip — Python `ipaddress` has the same strict RFC semantics as Rust
+# std::net (no spaces, no unicode digits, no leading zeros in v4 octets).
+# Reference truth table: ip.rs:31-139.
+# ---------------------------------------------------------------------------
+
+
+def _is_ipv6(v: str) -> bool:
+    try:
+        ipaddress.IPv6Address(v)
+        return True
+    except ValueError:
+        return False
+
+
+def _is_ip_any(v: str) -> bool:
+    try:
+        ipaddress.ip_address(v)
+        return True
+    except ValueError:
+        return False
+
+
+@pandas_udf(BooleanType())
+def _ipv6_udf(s: pd.Series) -> pd.Series:
+    return _apply_bool(s, _is_ipv6)
+
+
+@pandas_udf(BooleanType())
+def _ip_any_udf(s: pd.Series) -> pd.Series:
+    return _apply_bool(s, _is_ip_any)
+
+
+def ipv6_ok(c: Column) -> Column:
+    return _ipv6_udf(c)
+
+
+def ip_any_ok(c: Column) -> Column:
+    return _ip_any_udf(c)
+
+
+# ---------------------------------------------------------------------------
+# URL — mirrors `url::Url::parse` (WHATWG; urls.rs:3-10). Truth table:
+# 'http' false (no colon), 'https://google.com' true,
+# 'ftp://localhost:80' true. Special schemes require a valid host; other
+# schemes ('unix:/x', 'mailto:a@b') parse as opaque paths.
+# ---------------------------------------------------------------------------
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+_SPECIAL = {"http", "https", "ws", "wss", "ftp"}
+
+
+def _is_url(v: str) -> bool:
+    if not v:
+        return False
+    m = _SCHEME_RE.match(v)
+    if not m:
+        return False
+    scheme = v[: m.end() - 1].lower()
+    try:
+        parts = urllib.parse.urlsplit(v)
+        parts.port  # raises on invalid port
+    except ValueError:
+        return False
+    if scheme in _SPECIAL:
+        if not parts.hostname:
+            return False
+    elif scheme == "file":
+        pass  # file URLs may have empty host
+    if any(ch in v for ch in ("\n", "\t", " ")):
+        return False
+    return True
+
+
+@pandas_udf(BooleanType())
+def _url_udf(s: pd.Series) -> pd.Series:
+    return _apply_bool(s, _is_url)
+
+
+def url_ok(c: Column) -> Column:
+    return _url_udf(c)
+
+
+# ---------------------------------------------------------------------------
+# phone — exact via `phonenumbers` when importable (same libphonenumber
+# lineage as the reference crate); else a documented E.164 approximation
+# that matches the reference truth table (phone.rs tests: '+14152370800'
+# true, '14152370800' false, '0642926829' false, 'A012' false).
+# ---------------------------------------------------------------------------
+
+_PHONE_STRIP = re.compile(r"[\s().\-]")
+_E164 = re.compile(r"^\+[1-9][0-9]{7,14}$")
+
+
+def _is_phone(v: str) -> bool:
+    if _phonenumbers is not None:
+        try:
+            return _phonenumbers.is_valid_number(
+                _phonenumbers.parse(v, None))
+        except Exception:  # noqa: BLE001
+            return False
+    stripped = _PHONE_STRIP.sub("", v)
+    return bool(_E164.match(stripped))
+
+
+@pandas_udf(BooleanType())
+def _phone_udf(s: pd.Series) -> pd.Series:
+    return _apply_bool(s, _is_phone)
+
+
+def phone_ok(c: Column) -> Column:
+    return _phone_udf(c)
+
+
+# ---------------------------------------------------------------------------
+# email slow path — IDN domains (punycode retry, email.rs:46-52) and
+# ipv6-literal domains. Receives NULL for rows the SQL fast path already
+# decided (two-tier dispatch), so batches are cheap.
+# ---------------------------------------------------------------------------
+
+_DOMAIN_RE = re.compile(
+    r"^[a-z0-9](?:[a-z0-9-]{0,61}[a-z0-9])?"
+    r"(?:\.[a-z0-9](?:[a-z0-9-]{0,61}[a-z0-9])?)*$",
+    re.IGNORECASE,
+)
+_LITERAL_RE = re.compile(r"\[([A-f0-9:\.]+)\]\Z", re.IGNORECASE)
+
+
+def _email_domain_slow(v: str) -> bool:
+    domain = v.rsplit("@", 1)[-1]
+    m = _LITERAL_RE.search(domain)
+    if m:
+        return _is_ip_any(m.group(1))
+    # IDN retry: domain_to_ascii then re-check the HTML5 domain regex
+    try:
+        ascii_domain = domain.encode("idna").decode("ascii")
+    except (UnicodeError, ValueError):
+        return False
+    return bool(_DOMAIN_RE.match(ascii_domain))
+
+
+@pandas_udf(BooleanType())
+def _email_slow_udf(s: pd.Series) -> pd.Series:
+    return _apply_bool(s, _email_domain_slow)
+
+
+def email_slow_ok(c: Column) -> Column:
+    return _email_slow_udf(c)
