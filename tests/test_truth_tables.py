@@ -1,0 +1,151 @@
+"""Truth-table parity with the reference's table-driven unit tests —
+engine verdict per string must equal the reference's expected boolean
+(SURVEY.md §5.2 item 3).
+
+Sources: validify/src/validation/email.rs:83-133 (Django-derived),
+ip.rs:36-126, urls.rs tests, cards.rs tests, phone.rs tests,
+non_control_char.rs tests.
+"""
+
+import pytest
+
+from validify_spark import RuleSet, ValidationEngine, credit_card, email, ip, non_control_char, phone, url
+
+EMAIL_CASES = [
+    ("email@here.com", True),
+    ("weirder-email@here.and.there.com", True),
+    (r"!def!xyz%abc@example.com", True),
+    ("email@[127.0.0.1]", True),
+    ("email@[2001:dB8::1]", True),
+    ("email@[2001:dB8:0:0:0:0:0:1]", True),
+    ("email@[::fffF:127.0.0.1]", True),
+    ("example@valid-----hyphens.com", True),
+    ("example@valid-with-hyphens.com", True),
+    ("test@domain.with.idn.tld.उदाहरण.परीक्षा", True),
+    ('"test@test"@example.com', False),
+    ("a@atm." + "a" * 63, True),
+    ("a@" + "a" * 63 + ".atm", True),
+    ("a@" + "a" * 63 + ".bbbbbbbbbb.atm", True),
+    ("a@atm." + "a" * 64, False),
+    ("", False),
+    ("abc", False),
+    ("abc@", False),
+    ("abc@bar", True),
+    ("a @x.cz", False),
+    ("abc@.com", False),
+    ("something@@somewhere.com", False),
+    ("email@127.0.0.1", True),
+    ("email@[127.0.0.256]", False),
+    ("email@[2001:db8::12345]", False),
+    ("email@[2001:db8:0:0:0:0:1]", False),
+    ("email@[::ffff:127.0.0.256]", False),
+    ("example@invalid-.com", False),
+    ("example@-invalid.com", False),
+    ("example@invalid.com-", False),
+    ("example@inv-.alid-.com", False),
+    ("example@inv-.-alid.com", False),
+    ('test@example.com\\n\\n<script src="x.js">', False),
+    (r'"\\\011"@here.com', False),
+    (r'"\\\012"@here.com', False),
+    ("trailingdot@shouldfail.com.", False),
+    ("a@b.com\n", False),
+    ("a\n@b.com", False),
+    ('"test@test"\n@example.com', False),
+    ("a@[127.0.0.1]\n", False),
+    ("John.Doe@exam_ple.com", False),
+    # rfc5321 caps
+    ("a" * 65 + "@mail.com", False),
+    ("a@" + "a" * 252 + ".com", False),
+]
+
+IP_ANY_CASES = [
+    ("1.1.1.1", True), ("255.0.0.0", True), ("0.0.0.0", True),
+    ("256.1.1.1", False), ("25.1.1.", False), ("25,1,1,1", False),
+    ("fe80::223:6cff:fe8a:2e8a", True), ("::ffff:254.42.16.14", True),
+    ("2a02::223:6cff :fe8a:2e8a", False),
+]
+
+IP_V4_CASES = [
+    ("1.1.1.1", True), ("255.0.0.0", True), ("0.0.0.0", True),
+    ("256.1.1.1", False), ("25.1.1.", False), ("25,1,1,1", False),
+    ("25.1 .1.1", False), ("1.1.1.1\n", False), ("٧.2٥.3٣.243", False),
+]
+
+IP_V6_CASES = [
+    ("fe80::223:6cff:fe8a:2e8a", True), ("2a02::223:6cff:fe8a:2e8a", True),
+    ("1::2:3:4:5:6:7", True), ("::", True), ("::a", True), ("2::", True),
+    ("::ffff:254.42.16.14", True), ("::ffff:0a0a:0a0a", True),
+    ("::254.42.16.14", True), ("::0a0a:0a0a", True),
+    ("foo", False), ("127.0.0.1", False), ("12345::", False),
+    ("1::2::3::4", False), ("1::zzz", False), ("1:2", False),
+    ("fe80::223: 6cff:fe8a:2e8a", False), ("2a02::223:6cff :fe8a:2e8a", False),
+    ("::ffff:999.42.16.14", False), ("::ffff:zzzz:0a0a", False),
+]
+
+URL_CASES = [
+    ("http", False), ("https://google.com", True),
+    ("http://localhost:80", True), ("ftp://localhost:80", True),
+]
+
+CARD_CASES = [
+    ("4539571147647251", True), ("343380440754432", True),
+    ("zduhefljsdfKJKJZHUI", False), ("5236313877109141", False),
+]
+
+PHONE_CASES = [
+    ("+1 (415) 237-0800", True), ("+14152370800", True),
+    ("+33642926829", True), ("14152370800", False),
+    ("0642926829", False), ("00642926829", False),
+    ("A012", False), ("TEXT", False),
+]
+
+NCC_CASES = [
+    ("2H₂ + O₂ ⇌ 2H₂O", True), ("\x0c", False), ("abc\x9fdef", False),
+    ("perfectly fine", True),
+]
+
+
+def _verdicts(spark, cases, rule):
+    rows = [(i, v) for i, (v, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "id int, v string")
+    eng = ValidationEngine(RuleSet(rules=[rule]), key_cols=["id"])
+    failed_ids = {r["id"] for r in eng.violations(df).collect()}
+    return [i not in failed_ids for i in range(len(cases))]
+
+
+def _assert_table(spark, cases, rule):
+    got = _verdicts(spark, cases, rule)
+    bad = [(v, exp, g) for (v, exp), g in zip(cases, got) if exp != g]
+    assert not bad, f"mismatches (value, expected, got): {bad}"
+
+
+def test_email_truth_table(spark):
+    _assert_table(spark, EMAIL_CASES, email("v"))
+
+
+def test_ip_any_truth_table(spark):
+    _assert_table(spark, IP_ANY_CASES, ip("v"))
+
+
+def test_ip_v4_truth_table(spark):
+    _assert_table(spark, IP_V4_CASES, ip("v", format="v4"))
+
+
+def test_ip_v6_truth_table(spark):
+    _assert_table(spark, IP_V6_CASES, ip("v", format="v6"))
+
+
+def test_url_truth_table(spark):
+    _assert_table(spark, URL_CASES, url("v"))
+
+
+def test_credit_card_truth_table(spark):
+    _assert_table(spark, CARD_CASES, credit_card("v"))
+
+
+def test_phone_truth_table(spark):
+    _assert_table(spark, PHONE_CASES, phone("v"))
+
+
+def test_non_control_char_truth_table(spark):
+    _assert_table(spark, NCC_CASES, non_control_char("v"))

@@ -299,6 +299,41 @@ def _compile_iter(rule: Rule, schema: T.StructType,
     base_loc = rule.location
     field_name = (rule.display_name or rule.column.split(".")[-1])
 
+    # Spark bans Python UDF calls inside higher-order-function lambdas
+    # (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF), so for
+    # UDF-backed kinds we precompute one array<boolean> ok-vector with a
+    # single top-level Arrow UDF and zip it against the array — the
+    # lambdas below then stay pure Catalyst.
+    udf_kind = None
+    if inner.kind in ("email", "url", "phone"):
+        udf_kind = inner.kind
+    elif inner.kind == "ip":
+        fmt = inner.params.get("format")
+        udf_kind = {"v4": "ipv4", "v6": "ipv6"}.get(fmt, "ip_any")
+    if udf_kind is not None:
+        values = F.transform(arr, lambda x: x[sub] if sub else x)
+        ok_arr = U.iter_ok(udf_kind)(values)
+        zipped = F.zip_with(
+            arr, ok_arr,
+            lambda x, ok: F.struct(x.alias("v"), ok.alias("ok")))
+
+        def per_element_udf(p: Column, i: Column) -> Column:
+            elem = p["v"][sub] if sub else p["v"]
+            loc = F.concat(F.lit(base_loc + "/"), i.cast("string"),
+                           F.lit("/" + sub) if sub else F.lit(""))
+            viol = make_violation(rule.rule_id, field_name, loc,
+                                  inner.effective_code,
+                                  inner.message or rule.message,
+                                  {"actual": elem})
+            passes = elem.isNull() | p["ok"]
+            return F.when(passes,
+                          F.lit(None).cast(VIOLATION_STRUCT_DDL)) \
+                    .otherwise(viol)
+
+        viols = F.filter(F.transform(zipped, per_element_udf),
+                         lambda v: v.isNotNull())
+        return F.when(arr.isNull(), empty_violations()).otherwise(viols)
+
     def per_element(x: Column, i: Column) -> Column:
         elem = x[sub] if sub else x
         edt = (resolve_type(etype, sub)

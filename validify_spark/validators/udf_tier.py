@@ -179,3 +179,63 @@ def _email_slow_udf(s: pd.Series) -> pd.Series:
 
 def email_slow_ok(c: Column) -> Column:
     return _email_slow_udf(c)
+
+
+# ---------------------------------------------------------------------------
+# full-Python email check (HTML5 semantics, email.rs:22-72) — used for
+# per-element (iter) validation where Spark bans UDF calls inside
+# higher-order-function lambdas; the engine instead computes one
+# array<boolean> ok-vector per row with a single top-level Arrow UDF.
+# ---------------------------------------------------------------------------
+
+_USER_RE = re.compile(r"^[a-z0-9.!#$%&'*+/=?^_`{|}~-]+\Z", re.IGNORECASE)
+
+
+def _email_full(v: str) -> bool:
+    if not v or "@" not in v:
+        return False
+    user, domain = v.rsplit("@", 1)
+    if len(user.encode("utf-8", "surrogatepass")) > 64 \
+            or len(domain.encode("utf-8", "surrogatepass")) > 255:
+        return False
+    if not _USER_RE.match(user):
+        return False
+    if _DOMAIN_RE.match(domain):
+        return True
+    return _email_domain_slow(v)
+
+
+def _is_ipv4_py(v: str) -> bool:
+    try:
+        ipaddress.IPv4Address(v)
+        return True
+    except ValueError:
+        return False
+
+
+_ITER_CHECKS = {
+    "email": _email_full,
+    "url": _is_url,
+    "phone": _is_phone,
+    "ipv4": _is_ipv4_py,
+    "ipv6": _is_ipv6,
+    "ip_any": _is_ip_any,
+}
+
+_ITER_UDF_CACHE: dict = {}
+
+
+def iter_ok(kind: str):
+    """Array-level check: array<string> -> array<boolean> in one Arrow
+    batch UDF call (per-element Python only within each row's list)."""
+    if kind not in _ITER_UDF_CACHE:
+        fn = _ITER_CHECKS[kind]
+
+        @pandas_udf("array<boolean>")
+        def _arr_udf(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda lst: None if lst is None else
+                [None if v is None else bool(fn(v)) for v in lst])
+
+        _ITER_UDF_CACHE[kind] = _arr_udf
+    return _ITER_UDF_CACHE[kind]
