@@ -1,0 +1,17 @@
+"""Distributed-only checks — the constraints validify cannot express from
+inside one record (BASELINE.json north_star): column stats profiles,
+uniqueness, referential integrity, distribution drift, ordering
+invariants. Each is a separate composable job over the shared scan
+(SURVEY.md §2.8)."""
+
+from .stats import stats_profile, stats_profile_exact
+from .uniqueness import uniqueness_violations
+from .referential import referential_orphans
+from .drift import categorical_histogram, drift_report, length_histogram
+from .ordering import ordering_violations
+
+__all__ = [
+    "stats_profile", "stats_profile_exact", "uniqueness_violations",
+    "referential_orphans", "categorical_histogram", "length_histogram",
+    "drift_report", "ordering_violations",
+]
