@@ -1,38 +1,990 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship: validate a transcript table derived from
+               sf0.001 lineitem with the standard ruleset; returns the
+               violations DataFrame.
+``queries``  — one entry per implemented operator (SURVEY.md §2 +
+               training-data pipeline ops), each (spark, sf_dir) →
+               DataFrame.
+``oracle_sql`` — DuckDB-dialect SQL computing the same result over the
+               pre-registered parquet views. Column names/types match
+               the Spark outputs; value comparison is order-insensitive.
+
+Where both sides must derive identical synthetic inputs (emails, urls,
+turns...), the derivation is deterministic SQL over the shared tables —
+never random, never wall-clock.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+import validify_spark as vs
+from validify_spark.checks import (
+    drift_report, categorical_histogram, ordering_violations,
+    referential_orphans, stats_profile_exact, uniqueness_violations,
+)
+from validify_spark.pipeline import (
+    cosine_self_pairs, cosine_topk, exact_duplicates, fingerprint,
+    jaccard_pairs, lang_id, minhash_signatures, quality_score,
+    simhash_pairs, token_stats,
+)
+from validify_spark.rules import Rule
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict:
+    out = {}
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out
+
+
+def _viol(res_df: DataFrame, *key_cols: str) -> DataFrame:
+    """Project violations to oracle-comparable plain columns."""
+    return res_df.select(*key_cols, "code", "location")
+
+
+# ---------------------------------------------------------------------------
+# shared turns derivation (dialect-neutral SQL — runs verbatim in Spark
+# SQL and DuckDB). Deterministic function of lineitem.
+# ---------------------------------------------------------------------------
+
+DERIVE_TURNS_SQL = """
+SELECT
+  'c' || lpad(CAST(l_orderkey AS STRING), 10, '0') AS conv_id,
+  CAST(l_linenumber - 1 AS INT) AS turn_idx,
+  CASE WHEN l_orderkey % 97 = 0 THEN 'robot'
+       WHEN l_orderkey % 89 = 0 AND l_linenumber = 1 THEN NULL
+       ELSE CASE CAST((l_orderkey + l_linenumber) % 4 AS INT)
+            WHEN 0 THEN 'system' WHEN 1 THEN 'user'
+            WHEN 2 THEN 'assistant' ELSE 'tool' END END AS role,
+  CASE WHEN l_orderkey % 31 = 0 THEN
+         '   padded turn text ' || CAST(l_linenumber AS STRING) || '   '
+       WHEN l_orderkey % 41 = 0 AND l_linenumber = 2 THEN ''
+       WHEN l_orderkey % 53 = 0 THEN 'ctl' || chr(7) || 'char'
+       ELSE 'turn text ' || l_returnflag || ' '
+            || CAST(l_orderkey AS STRING) || ' '
+            || CAST(l_linenumber AS STRING) END AS text,
+  CASE WHEN l_orderkey % 61 = 0 THEN ''
+       WHEN (l_orderkey + l_linenumber) % 4 = 3 THEN 'search'
+       ELSE NULL END AS tool,
+  l_shipdate AS ts
+FROM lineitem
+"""
+
+_RUN_TS = dt.datetime(1998, 6, 1)
+
+TURNS_RULESET_ORACLE = f"""
+WITH turns AS ({DERIVE_TURNS_SQL}),
+norm AS (
+  SELECT conv_id, turn_idx, lower(role) AS role,
+         trim(text) AS text, tool, ts
+  FROM turns
+)
+SELECT conv_id, turn_idx, 'required' AS code, '/role' AS location
+  FROM norm WHERE role IS NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'length', '/text'
+  FROM norm WHERE text IS NOT NULL
+   AND NOT (length(text) >= 1 AND length(text) <= 60)
+UNION ALL
+SELECT conv_id, turn_idx, 'in', '/role'
+  FROM norm WHERE role IS NOT NULL
+   AND role NOT IN ('system', 'user', 'assistant', 'tool')
+UNION ALL
+SELECT conv_id, turn_idx, 'not_in', '/tool'
+  FROM norm WHERE tool IS NOT NULL AND tool IN ('', 'forbidden')
+UNION ALL
+SELECT conv_id, turn_idx, 'non_control_char', '/text'
+  FROM norm WHERE text IS NOT NULL
+   AND regexp_matches(text, '[\\x00-\\x1F\\x7F-\\x9F]')
+UNION ALL
+SELECT conv_id, turn_idx, 'range', '/turn_idx'
+  FROM norm WHERE turn_idx IS NOT NULL
+   AND NOT (CAST(turn_idx AS DOUBLE) >= 0.0
+            AND CAST(turn_idx AS DOUBLE) <= 4.0)
+UNION ALL
+SELECT conv_id, turn_idx, 'before_or_equal', '/ts'
+  FROM norm WHERE ts IS NOT NULL AND NOT (ts <= TIMESTAMP '1998-06-01')
+UNION ALL
+SELECT conv_id, turn_idx, 'regex', '/text'
+  FROM norm WHERE text IS NOT NULL AND NOT regexp_matches(text, 'turn')
+"""
+
+
+def _turns_ruleset() -> vs.RuleSet:
+    return vs.RuleSet(
+        name="turns",
+        rules=[
+            vs.required("role"),
+            vs.length("text", min=1, max=60),
+            vs.is_in("role", ["system", "user", "assistant", "tool"]),
+            vs.not_in("tool", ["", "forbidden"]),
+            vs.non_control_char("text"),
+            vs.range_("turn_idx", min=0, max=4),
+            vs.time("ts", op="before", target=_RUN_TS, inclusive=True),
+            vs.regex("text", "turn"),
+        ],
+        modifiers=[vs.trim("text"), vs.lowercase("role")],
+    )
+
+
+def q_turns_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: standard ruleset over the derived transcript table.
+    Exercises modifiers (trim/lowercase), option semantics, and 8 rule
+    kinds in one fused single-scan pass."""
+    _load(spark, sf_dir, "lineitem")
+    turns = spark.sql(DERIVE_TURNS_SQL)
+    eng = vs.ValidationEngine(_turns_ruleset(),
+                              key_cols=["conv_id", "turn_idx"],
+                              run_ts=_RUN_TS)
+    return _viol(eng.violations(turns), "conv_id", "turn_idx")
+
+
+# ---------------------------------------------------------------------------
+# individual validator queries over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_length(spark, sf_dir):
+    t = _load(spark, sf_dir, "customer")["customer"]
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.length("c_name", min=1, max=17)]),
+        key_cols=["c_custkey"])
+    v = eng.violations(t)
+    return v.select("c_custkey", "code",
+                    F.col("params")["actual"].alias("actual"))
+
+
+def q_range(spark, sf_dir):
+    t = _load(spark, sf_dir, "lineitem")["lineitem"]
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.range_("l_quantity", min=1, max=25)]),
+        key_cols=["l_orderkey", "l_linenumber"])
+    return eng.violations(t).select(
+        "l_orderkey", "l_linenumber", "code",
+        F.col("params")["actual"].alias("actual"))
+
+
+def q_is_in(spark, sf_dir):
+    t = _load(spark, sf_dir, "orders")["orders"]
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.is_in("o_orderstatus", ["O", "F"])]),
+        key_cols=["o_orderkey"])
+    return eng.violations(t).select(
+        "o_orderkey", "code", F.col("params")["actual"].alias("actual"))
+
+
+def q_not_in(spark, sf_dir):
+    t = _load(spark, sf_dir, "customer")["customer"]
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.not_in("c_mktsegment", ["MACHINERY"])]),
+        key_cols=["c_custkey"])
+    return eng.violations(t).select("c_custkey", "code")
+
+
+def q_regex(spark, sf_dir):
+    t = _load(spark, sf_dir, "part")["part"]
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.regex("p_type", "BRUSHED|POLISHED")]),
+        key_cols=["p_partkey"])
+    return eng.violations(t).select("p_partkey", "code",
+                                    F.col("params")["actual"]
+                                    .alias("actual"))
+
+
+def q_must_match(spark, sf_dir):
+    t = _load(spark, sf_dir, "lineitem")["lineitem"]
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.must_match("l_returnflag",
+                                        other="l_linestatus")]),
+        key_cols=["l_orderkey", "l_linenumber"])
+    return eng.violations(t).select(
+        "l_orderkey", "l_linenumber", "code",
+        F.col("params")["actual"].alias("actual"),
+        F.col("params")["target"].alias("target"))
+
+
+def q_time_ops(spark, sf_dir):
+    t = _load(spark, sf_dir, "orders")["orders"]
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[
+            vs.time("o_orderdate", op="before",
+                    target=dt.datetime(1998, 1, 1), inclusive=True),
+            vs.time("o_orderdate", op="after",
+                    target=dt.datetime(1995, 1, 1)),
+            vs.time("o_orderdate", op="in_period",
+                    target=dt.datetime(1996, 1, 1), days=365),
+        ]),
+        key_cols=["o_orderkey"])
+    return eng.violations(t).select("o_orderkey", "code")
+
+
+def q_email(spark, sf_dir):
+    """Email validation on a deterministically synthesized column —
+    exercises the HTML5 fast path (email.rs:22-72 semantics)."""
+    _load(spark, sf_dir, "customer")
+    t = spark.sql("""
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 13 = 0 THEN 'bad@@example.com'
+             WHEN c_custkey % 11 = 0 THEN
+               'user' || CAST(c_custkey AS STRING) || 'example.com'
+             ELSE 'user' || CAST(c_custkey AS STRING) || '@example.com'
+        END AS email
+      FROM customer""")
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.email("email")]), key_cols=["c_custkey"])
+    return eng.violations(t).select("c_custkey", "code")
+
+
+def q_ip_v4(spark, sf_dir):
+    """IPv4 validation (strict Rust-std semantics) on synthesized IPs —
+    pure SQL regex fast path on both sides."""
+    _load(spark, sf_dir, "events")
+    t = spark.sql("""
+      SELECT event_id,
+        CAST(user_id % 300 AS STRING) || '.0.0.'
+          || CAST(event_id % 260 AS STRING) AS ip
+      FROM events""")
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.ip("ip", format="v4")]),
+        key_cols=["event_id"])
+    return eng.violations(t).select("event_id", "code")
+
+
+def q_url(spark, sf_dir):
+    """URL validation (WHATWG-parse UDF tier) on synthesized urls."""
+    _load(spark, sf_dir, "events")
+    t = spark.sql("""
+      SELECT event_id,
+        CASE WHEN event_id % 7 = 0 THEN 'http'
+             WHEN event_id % 5 = 0 THEN 'ftp://localhost:80'
+             ELSE 'https://example.com/p/'
+                  || CAST(event_id AS STRING) END AS url
+      FROM events""")
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.url("url")]), key_cols=["event_id"])
+    return eng.violations(t).select("event_id", "code")
+
+
+def q_phone(spark, sf_dir):
+    """Phone validation (E.164; UDF tier) on synthesized numbers."""
+    _load(spark, sf_dir, "events")
+    t = spark.sql("""
+      SELECT event_id,
+        CASE CAST(event_id % 3 AS INT)
+          WHEN 0 THEN '+1 (415) 237-0800'
+          WHEN 1 THEN '14152370800'
+          ELSE '+33642926829' END AS phone
+      FROM events""")
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.phone("phone")]), key_cols=["event_id"])
+    return eng.violations(t).select("event_id", "code")
+
+
+def q_iter_emails(spark, sf_dir):
+    """Per-element (iter) validation with indexed locations."""
+    _load(spark, sf_dir, "customer")
+    t = spark.sql("""
+      SELECT c_custkey, array(
+        'ok' || CAST(c_custkey AS STRING) || '@example.com',
+        CASE WHEN c_custkey % 9 = 0 THEN 'not an email'
+             ELSE 'also' || CAST(c_custkey AS STRING) || '@example.com'
+        END) AS emails
+      FROM customer""")
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.iter_("emails", Rule(kind="email",
+                                                  column=None))]),
+        key_cols=["c_custkey"])
+    return eng.violations(t).select("c_custkey", "code", "location")
+
+
+def q_schema_rule(spark, sf_dir):
+    t = _load(spark, sf_dir, "orders")["orders"]
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[
+            vs.range_("o_totalprice", min=0, max=400000),
+            vs.schema_rule(
+                "NOT (o_orderstatus = 'F' AND o_totalprice > 350000)",
+                code="fulfilled_price_cap"),
+        ]),
+        key_cols=["o_orderkey"])
+    return eng.violations(t).select("o_orderkey", "code", "location")
+
+
+def q_presence_gating(spark, sf_dir):
+    """Payload semantics: presence failure suppresses main-stage rules
+    (payload/impl.rs:17-53)."""
+    _load(spark, sf_dir, "orders")
+    t = spark.sql("""
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 5 = 0 THEN NULL
+             WHEN o_orderkey % 7 = 0 THEN 'x'
+             ELSE 'tool_' || CAST(o_orderkey % 3 AS STRING) END AS tool
+      FROM orders""")
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[
+            vs.required("tool", stage="presence"),
+            vs.length("tool", min=2, max=32),
+        ]),
+        key_cols=["o_orderkey"])
+    return eng.violations(t).select("o_orderkey", "code")
+
+
+def q_modifiers(spark, sf_dir):
+    """Modifier pipeline parity: trim → lowercase → capitalize
+    (first-char-only, NOT initcap)."""
+    _load(spark, sf_dir, "customer")
+    t = spark.sql("""
+      SELECT c_custkey, '  ' || c_mktsegment || '  ' AS seg
+      FROM customer""")
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[], modifiers=[vs.trim("seg"),
+                                        vs.lowercase("seg"),
+                                        vs.capitalize("seg")]),
+        key_cols=["c_custkey"])
+    return eng.normalize(t).select("c_custkey", "seg")
+
+
+# ---------------------------------------------------------------------------
+# distributed-only checks
+# ---------------------------------------------------------------------------
+
+
+def q_uniqueness(spark, sf_dir):
+    t = _load(spark, sf_dir, "orders")["orders"]
+    return uniqueness_violations(t, ["o_custkey"])
+
+
+def q_referential(spark, sf_dir):
+    d = _load(spark, sf_dir, "lineitem", "part")
+    return referential_orphans(d["lineitem"], "l_partkey", d["part"],
+                               "p_partkey", broadcast_parent=True)
+
+
+def q_stats_profile(spark, sf_dir):
+    t = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return stats_profile_exact(t, ["l_quantity", "l_discount",
+                                   "l_extendedprice"])
+
+
+def q_drift(spark, sf_dir):
+    t = _load(spark, sf_dir, "orders")["orders"]
+    cur = categorical_histogram(t.filter("o_orderkey % 2 = 0"),
+                                "o_orderpriority")
+    base = categorical_histogram(t.filter("o_orderkey % 2 = 1"),
+                                 "o_orderpriority")
+    return drift_report(cur, base)
+
+
+def q_ordering(spark, sf_dir):
+    """Ordering invariants over a derived sequence (dup idx at 3→2,
+    gap at 4→5; ts naturally out of order vs linenumber)."""
+    _load(spark, sf_dir, "lineitem")
+    t = spark.sql("""
+      SELECT CAST(l_orderkey AS STRING) AS conv_id,
+             CASE WHEN l_linenumber = 3 THEN 2
+                  WHEN l_linenumber = 4 THEN 5
+                  ELSE l_linenumber END AS turn_idx,
+             l_shipdate AS ts
+      FROM lineitem""")
+    return ordering_violations(t)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+_DOCS2_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    _load(spark, sf_dir, "documents")
+    docs2 = spark.sql(_DOCS2_SQL)
+    return exact_duplicates(docs2)
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    _load(spark, sf_dir, "documents")
+    docs2 = spark.sql(_DOCS2_SQL)
+    return jaccard_pairs(docs2, n=3, threshold=0.8)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    t = _load(spark, sf_dir, "documents")["documents"]
+    return minhash_signatures(t, n=3, num_perm=4)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    _load(spark, sf_dir, "documents")
+    docs2 = spark.sql(_DOCS2_SQL)
+    return simhash_pairs(docs2, max_hamming=3)
+
+
+def q_token_stats(spark, sf_dir):
+    t = _load(spark, sf_dir, "documents")["documents"]
+    return token_stats(t).select("doc_id", "n_chars", "n_tokens",
+                                 "n_distinct_tokens")
+
+
+def q_quality(spark, sf_dir):
+    t = _load(spark, sf_dir, "documents")["documents"]
+    return quality_score(t)
+
+
+def q_lang_id(spark, sf_dir):
+    t = _load(spark, sf_dir, "documents")["documents"]
+    return lang_id(t)
+
+
+def q_fingerprint(spark, sf_dir):
+    t = _load(spark, sf_dir, "documents")["documents"]
+    return fingerprint(t, n=3)
+
+
+def q_cosine_topk(spark, sf_dir):
+    t = _load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = (t.filter("vec_id < 3")
+               .selectExpr("vec_id AS query_id", "embedding"))
+    return cosine_topk(t, queries, k=5)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    t = _load(spark, sf_dir, "embeddings")["embeddings"]
+    return cosine_self_pairs(t.filter("vec_id < 150"), threshold=0.3,
+                             exact=True)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate ANN (LSH hyperplane buckets) — rows-only check by
+    nature (approximate recall, no exact oracle)."""
+    from validify_spark.pipeline import lsh_ann_topk
+    t = _load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = (t.filter("vec_id < 3")
+               .selectExpr("vec_id AS query_id", "embedding"))
+    return lsh_ann_topk(t, queries, k=5, dim=64, n_planes=6, n_tables=4)
+
+
+def q_stats_profile_sketch(spark, sf_dir):
+    """HLL/GK sketch profile — the 100 TB path; approximate by design,
+    rows-only check."""
+    from validify_spark.checks import stats_profile
+    t = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return stats_profile(t, ["l_quantity", "l_partkey"])
+
+
+def q_credit_card(spark, sf_dir):
+    """Luhn + brand check — pure Catalyst higher-order funcs.
+
+    Synthesized from known-valid test numbers with deterministic
+    corruption; oracle is analytic."""
+    _load(spark, sf_dir, "events")
+    t = spark.sql("""
+      SELECT event_id,
+        CASE CAST(event_id % 3 AS INT)
+          WHEN 0 THEN '4539571147647251'
+          WHEN 1 THEN '5236313877109141'
+          ELSE '343380440754432' END AS card
+      FROM events""")
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.credit_card("card")]), key_cols=["event_id"])
+    return eng.violations(t).select("event_id", "code")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_turns_validation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "turns_validation": q_turns_validation,
+        "length": q_length,
+        "range": q_range,
+        "is_in": q_is_in,
+        "not_in": q_not_in,
+        "regex": q_regex,
+        "must_match": q_must_match,
+        "time_ops": q_time_ops,
+        "email": q_email,
+        "ip_v4": q_ip_v4,
+        "url": q_url,
+        "phone": q_phone,
+        "credit_card": q_credit_card,
+        "iter_emails": q_iter_emails,
+        "schema_rule": q_schema_rule,
+        "presence_gating": q_presence_gating,
+        "modifiers": q_modifiers,
+        "uniqueness": q_uniqueness,
+        "referential": q_referential,
+        "stats_profile": q_stats_profile,
+        "stats_profile_sketch": q_stats_profile_sketch,
+        "drift": q_drift,
+        "ordering": q_ordering,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_pairs": q_simhash_pairs,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_lsh": q_ann_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = r"""
+docs2 AS ({docs}),
+words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS w
+  FROM docs2),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 2, 0)),
+           i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+  FROM words)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    shingle_docs2 = _SHINGLES_CTE.format(docs=_DOCS2_SQL)
+    shingle_docs = _SHINGLES_CTE.format(docs="SELECT doc_id, text FROM documents")
+    return {
+        "turns_validation": TURNS_RULESET_ORACLE,
+
+        "length": """
+          SELECT c_custkey, 'length' AS code,
+                 CAST(length(c_name) AS STRING) AS actual
+          FROM customer
+          WHERE c_name IS NOT NULL
+            AND NOT (length(c_name) >= 1 AND length(c_name) <= 17)""",
+
+        "range": """
+          SELECT l_orderkey, l_linenumber, 'range' AS code,
+                 CAST(l_quantity AS STRING) AS actual
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL
+            AND NOT (CAST(l_quantity AS DOUBLE) >= 1.0
+                     AND CAST(l_quantity AS DOUBLE) <= 25.0)""",
+
+        "is_in": """
+          SELECT o_orderkey, 'in' AS code, o_orderstatus AS actual
+          FROM orders
+          WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O', 'F')""",
+
+        "not_in": """
+          SELECT c_custkey, 'not_in' AS code
+          FROM customer
+          WHERE c_mktsegment IS NOT NULL
+            AND c_mktsegment IN ('MACHINERY')""",
+
+        "regex": """
+          SELECT p_partkey, 'regex' AS code, p_type AS actual
+          FROM part
+          WHERE p_type IS NOT NULL
+            AND NOT regexp_matches(p_type, 'BRUSHED|POLISHED')""",
+
+        "must_match": """
+          SELECT l_orderkey, l_linenumber, 'must_match' AS code,
+                 l_returnflag AS actual, l_linestatus AS target
+          FROM lineitem
+          WHERE l_returnflag IS DISTINCT FROM l_linestatus""",
+
+        "time_ops": """
+          SELECT o_orderkey, 'before_or_equal' AS code FROM orders
+          WHERE o_orderdate IS NOT NULL
+            AND NOT (o_orderdate <= TIMESTAMP '1998-01-01')
+          UNION ALL
+          SELECT o_orderkey, 'after' FROM orders
+          WHERE o_orderdate IS NOT NULL
+            AND NOT (o_orderdate > TIMESTAMP '1995-01-01')
+          UNION ALL
+          SELECT o_orderkey, 'in_period' FROM orders
+          WHERE o_orderdate IS NOT NULL
+            AND NOT (o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                     AND TIMESTAMP '1996-12-31')""",
+
+        "email": """
+          SELECT c_custkey, 'email' AS code FROM customer
+          WHERE c_custkey % 13 = 0 OR c_custkey % 11 = 0""",
+
+        "ip_v4": r"""
+          SELECT event_id, 'ip' AS code FROM (
+            SELECT event_id,
+              CAST(user_id % 300 AS STRING) || '.0.0.'
+                || CAST(event_id % 260 AS STRING) AS ip
+            FROM events)
+          WHERE NOT regexp_matches(ip,
+            '^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])){3}\z')""",
+
+        "url": """
+          SELECT event_id, 'url' AS code FROM events
+          WHERE event_id % 7 = 0""",
+
+        "phone": """
+          SELECT event_id, 'phone' AS code FROM events
+          WHERE event_id % 3 = 1""",
+
+        "credit_card": """
+          SELECT event_id, 'credit_card' AS code FROM events
+          WHERE event_id % 3 = 1""",
+
+        "iter_emails": """
+          SELECT c_custkey, 'email' AS code,
+                 '/emails/1' AS location
+          FROM customer WHERE c_custkey % 9 = 0""",
+
+        "schema_rule": """
+          SELECT o_orderkey, 'range' AS code, '/o_totalprice' AS location
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND NOT (CAST(o_totalprice AS DOUBLE) >= 0.0
+                     AND CAST(o_totalprice AS DOUBLE) <= 400000.0)
+          UNION ALL
+          SELECT o_orderkey, 'fulfilled_price_cap', '/'
+          FROM orders
+          WHERE (NOT (o_orderstatus = 'F' AND o_totalprice > 350000))
+                IS NOT TRUE""",
+
+        "presence_gating": """
+          WITH t AS (
+            SELECT o_orderkey,
+              CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                   WHEN o_orderkey % 7 = 0 THEN 'x'
+                   ELSE 'tool_' || CAST(o_orderkey % 3 AS STRING)
+              END AS tool
+            FROM orders)
+          SELECT o_orderkey, 'required' AS code FROM t WHERE tool IS NULL
+          UNION ALL
+          SELECT o_orderkey, 'length' FROM t
+          WHERE tool IS NOT NULL
+            AND NOT (length(tool) >= 2 AND length(tool) <= 32)""",
+
+        "modifiers": """
+          SELECT c_custkey,
+                 upper(substr(lower(trim('  ' || c_mktsegment || '  ')),
+                              1, 1))
+                 || substr(lower(trim('  ' || c_mktsegment || '  ')), 2)
+                 AS seg
+          FROM customer""",
+
+        "uniqueness": """
+          SELECT o_custkey, count(*) AS dup_count
+          FROM orders GROUP BY o_custkey HAVING count(*) > 1""",
+
+        "referential": """
+          SELECT l_partkey, count(*) AS n_rows
+          FROM lineitem
+          WHERE l_partkey NOT IN (SELECT p_partkey FROM part
+                                  WHERE p_partkey IS NOT NULL)
+          GROUP BY l_partkey""",
+
+        "stats_profile": """
+          SELECT 'l_quantity' AS column, count(*) AS n_rows,
+                 CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_nulls,
+                 round(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0
+                           END) / greatest(count(*), 1), 6) AS null_rate,
+                 count(DISTINCT l_quantity) AS n_distinct,
+                 CAST(min(l_quantity) AS STRING) AS min_value,
+                 CAST(max(l_quantity) AS STRING) AS max_value,
+                 round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+                 round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+                 round(quantile_cont(l_quantity, 0.75), 6) AS q75
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', count(*),
+                 CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 round(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0
+                           END) / greatest(count(*), 1), 6),
+                 count(DISTINCT l_discount),
+                 CAST(min(l_discount) AS STRING),
+                 CAST(max(l_discount) AS STRING),
+                 round(quantile_cont(l_discount, 0.25), 6),
+                 round(quantile_cont(l_discount, 0.5), 6),
+                 round(quantile_cont(l_discount, 0.75), 6)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', count(*),
+                 CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 round(sum(CASE WHEN l_extendedprice IS NULL THEN 1
+                           ELSE 0 END) / greatest(count(*), 1), 6),
+                 count(DISTINCT l_extendedprice),
+                 CAST(min(l_extendedprice) AS STRING),
+                 CAST(max(l_extendedprice) AS STRING),
+                 round(quantile_cont(l_extendedprice, 0.25), 6),
+                 round(quantile_cont(l_extendedprice, 0.5), 6),
+                 round(quantile_cont(l_extendedprice, 0.75), 6)
+          FROM lineitem""",
+
+        "drift": """
+          WITH cur AS (
+            SELECT coalesce(CAST(o_orderpriority AS STRING), '__null__')
+                     AS bucket, count(*) AS n
+            FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+          curp AS (SELECT bucket,
+                          n / (SELECT sum(n) FROM cur) AS p FROM cur),
+          base AS (
+            SELECT coalesce(CAST(o_orderpriority AS STRING), '__null__')
+                     AS bucket, count(*) AS n
+            FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+          basep AS (SELECT bucket,
+                           n / (SELECT sum(n) FROM base) AS p FROM base),
+          j AS (
+            SELECT coalesce(c.p, 0.0) AS p, coalesce(b.p, 0.0) AS q
+            FROM curp c FULL OUTER JOIN basep b USING (bucket))
+          SELECT
+            round(sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+                  * ln(greatest(p, 1e-6) / greatest(q, 1e-6))), 6) AS psi,
+            round(sum(CASE WHEN p > 0 THEN greatest(p, 1e-6)
+                  * ln(greatest(p, 1e-6) / greatest(q, 1e-6))
+                  ELSE 0.0 END), 6) AS kl,
+            count(*) AS n_buckets,
+            round(max(abs(p - q)), 6) AS max_abs_diff
+          FROM j""",
+
+        "ordering": """
+          WITH t AS (
+            SELECT CAST(l_orderkey AS STRING) AS conv_id,
+                   CASE WHEN l_linenumber = 3 THEN 2
+                        WHEN l_linenumber = 4 THEN 5
+                        ELSE l_linenumber END AS turn_idx,
+                   l_shipdate AS ts
+            FROM lineitem),
+          w AS (
+            SELECT conv_id, turn_idx, ts,
+                   lag(turn_idx) OVER
+                     (PARTITION BY conv_id
+                      ORDER BY turn_idx, ts) AS prev_idx,
+                   lag(ts) OVER
+                     (PARTITION BY conv_id
+                      ORDER BY turn_idx, ts) AS prev_ts
+            FROM t)
+          SELECT conv_id, turn_idx, 'dup_turn_idx' AS code FROM w
+          WHERE prev_idx IS NOT NULL AND turn_idx = prev_idx
+          UNION ALL
+          SELECT conv_id, turn_idx, 'turn_idx_gap' FROM w
+          WHERE prev_idx IS NOT NULL AND turn_idx > prev_idx + 1
+          UNION ALL
+          SELECT conv_id, turn_idx, 'ts_out_of_order' FROM w
+          WHERE prev_ts IS NOT NULL AND ts IS NOT NULL
+            AND ts < prev_ts""",
+
+        "dedup_exact": f"""
+          WITH docs2 AS ({_DOCS2_SQL}),
+          h AS (
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                            'g'))) AS text_hash
+            FROM docs2),
+          g AS (
+            SELECT doc_id, text_hash,
+                   count(*) OVER (PARTITION BY text_hash) AS group_size,
+                   min(doc_id) OVER (PARTITION BY text_hash)
+                     AS canonical_id
+            FROM h)
+          SELECT doc_id, canonical_id, text_hash, group_size
+          FROM g WHERE group_size > 1""",
+
+        "dedup_jaccard": f"""
+          WITH {shingle_docs2},
+          sizes AS (SELECT doc_id, count(*) AS set_size FROM sh
+                    GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS intersection
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+          SELECT id_a, id_b, intersection,
+                 sa.set_size AS size_a, sb.set_size AS size_b,
+                 round(intersection
+                       / (sa.set_size + sb.set_size - intersection), 6)
+                   AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(intersection
+                      / (sa.set_size + sb.set_size - intersection), 6)
+                >= 0.8""",
+
+        "minhash_signatures": f"""
+          WITH {shingle_docs}
+          SELECT doc_id,
+                 min(md5('0:' || shingle)) AS h0,
+                 min(md5('1:' || shingle)) AS h1,
+                 min(md5('2:' || shingle)) AS h2,
+                 min(md5('3:' || shingle)) AS h3
+          FROM sh GROUP BY doc_id""",
+
+        "token_stats": r"""
+          WITH w AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(lower(trim(text)),
+                                                     '\s+'),
+                               x -> x <> '') AS words
+            FROM documents)
+          SELECT doc_id, length(text) AS n_chars,
+                 len(words) AS n_tokens,
+                 len(list_distinct(words)) AS n_distinct_tokens
+          FROM w""",
+
+        "quality": r"""
+          WITH w AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(lower(trim(text)),
+                                                     '\s+'),
+                               x -> x <> '') AS words,
+                   greatest(length(text), 1) AS n
+            FROM documents),
+          c AS (
+            SELECT doc_id, text, n, words,
+              greatest(len(words), 1) AS n_words,
+              length(regexp_replace(text, '[^\p{L}]', '', 'g')) / n
+                AS alpha_ratio,
+              length(regexp_replace(text,
+                '[^.,;:!?''"()\[\]{}-]', '', 'g')) / n AS punct_ratio,
+              len(list_filter(words, x -> list_contains(
+                ['the','and','of','to','a','in','is','that','it','for',
+                 'was','with','as','on','be'], x))) AS sw_hits,
+              len(list_distinct(words)) AS n_distinct
+            FROM w)
+          SELECT doc_id, length(text) AS n_chars,
+                 round(alpha_ratio, 6) AS alpha_ratio,
+                 round(punct_ratio, 6) AS punct_ratio,
+                 round(sw_hits / n_words, 6) AS stopword_ratio,
+                 round(1.0 - n_distinct / n_words, 6)
+                   AS repetition_ratio,
+                 round(0.3 * (CASE WHEN length(text) >= 50
+                              AND length(text) <= 100000
+                              THEN 1.0 ELSE 0.0 END)
+                       + 0.3 * alpha_ratio
+                       + 0.2 * least(sw_hits / n_words * 4, 1.0)
+                       + 0.2 * (1.0 - (1.0 - n_distinct / n_words)), 6)
+                   AS quality
+          FROM c""",
+
+        "lang_id": r"""
+          WITH w AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(lower(trim(text)),
+                                                     '\s+'),
+                               x -> x <> '') AS words
+            FROM documents),
+          scores AS (
+            SELECT doc_id, 'en' AS lang,
+                   len(list_filter(words, x -> list_contains(
+                     ['the','and','of','to','a','in','is','that','it',
+                      'for','was','with','as','on','be'], x))) AS hits
+            FROM w
+            UNION ALL
+            SELECT doc_id, 'de', len(list_filter(words,
+              x -> list_contains(['der','die','das','und','ist','nicht',
+              'ein','eine','mit','von','zu','den','im','für','auf'], x)))
+            FROM w
+            UNION ALL
+            SELECT doc_id, 'fr', len(list_filter(words,
+              x -> list_contains(['le','la','les','et','est','un','une',
+              'des','du','pour','dans','que','qui','pas','sur'], x)))
+            FROM w
+            UNION ALL
+            SELECT doc_id, 'es', len(list_filter(words,
+              x -> list_contains(['el','la','los','las','y','es','un',
+              'una','de','en','que','por','para','con','no'], x)))
+            FROM w
+            UNION ALL
+            SELECT doc_id, 'zh',
+                   length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+            FROM documents),
+          best AS (
+            SELECT doc_id, lang, hits,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY hits DESC, lang DESC)
+                     AS rn
+            FROM scores WHERE hits > 0)
+          SELECT d.doc_id,
+                 coalesce(b.lang, 'und') AS pred_lang,
+                 coalesce(b.hits, 0) AS lang_hits
+          FROM documents d
+          LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1""",
+
+        "fingerprint": r"""
+          WITH w AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(lower(trim(text)),
+                                                     '\s+'),
+                               x -> x <> '') AS words
+            FROM documents)
+          SELECT doc_id,
+                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                   AS content_hash,
+                 list_min(list_transform(
+                   generate_series(1, greatest(len(words) - 2, 0)),
+                   i -> md5(array_to_string(words[i:i+2], ' '))))
+                   AS shingle_fingerprint
+          FROM w""",
+
+        "cosine_topk": """
+          WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                     WHERE vec_id < 3),
+          scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_dot_product(e.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                              q.embedding::DOUBLE[])))
+                     AS cos_raw
+            FROM embeddings e, q),
+          ranked AS (
+            SELECT query_id, vec_id, cos_raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, vec_id ASC)
+                     AS rank
+            FROM scored)
+          SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+                 CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= 5""",
+
+        "embedding_near_dup": """
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                          a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]))), 6)
+                   AS cosine
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id AND a.vec_id < 150 AND b.vec_id < 150
+            AND round(list_dot_product(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                         a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]))), 6)
+                >= 0.3""",
+        # ann_lsh, stats_profile_sketch, simhash_pairs: approximate /
+        # sketch-based — rows-only checks (no SQL oracle by design)
+    }

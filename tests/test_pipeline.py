@@ -1,0 +1,167 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from validify_spark.pipeline import (
+    cosine_self_pairs, cosine_topk, exact_duplicates, fingerprint,
+    jaccard_pairs, lang_id, lsh_ann_topk, minhash_lsh_pairs,
+    quality_score, simhash_pairs, token_stats, word_shingles,
+)
+from validify_spark.pipeline.multimodal import (
+    attach_fake_blob, decode_media, extract_features, frame_sample_plan,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "completely different text about spark engines"),
+    (3, "THE  QUICK brown fox jumps over the lazy dog "),  # exact dup of 0 (normalized)
+    (4, "lorem ipsum dolor sit amet consectetur adipiscing"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    got = {(r["doc_id"], r["canonical_id"])
+           for r in exact_duplicates(docs).collect()}
+    assert got == {(0, 0), (3, 0)}
+
+
+def test_word_shingles(docs):
+    sh = word_shingles(docs.filter("doc_id = 0"), n=3).collect()
+    shingles = {r["shingle"] for r in sh}
+    assert "the quick brown" in shingles
+    assert len(shingles) == 7  # 9 words -> 7 trigrams, all distinct
+
+
+def test_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in jaccard_pairs(docs, n=3, threshold=0.3).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # normalized dup
+    assert (0, 1) in pairs and 0.3 < pairs[(0, 1)] < 1.0
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_pairs(docs, n=3, threshold=0.3,
+                                        num_perm=16, bands=8).collect()}
+    assert (0, 3) in pairs
+    assert (0, 1) in pairs
+
+
+def test_simhash_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=10).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 0  # same token set
+    if (0, 1) in pairs:
+        assert pairs[(0, 1)] > 0
+    assert (2, 4) not in pairs
+
+
+def test_cosine_topk_exact(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+         (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame([(100, [1.0, 0.0])],
+                                    "query_id long, embedding array<float>")
+    got = [(r["vec_id"], r["rank"]) for r in
+           cosine_topk(corpus, queries, k=2).orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_lsh_ann_matches_exact_topk_mostly(spark):
+    import random
+    rng = random.Random(7)
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.limit(3).selectExpr("vec_id as query_id", "embedding")
+    exact = cosine_topk(corpus, queries, k=5, id_col="vec_id")
+    approx = lsh_ann_topk(corpus, queries, k=5, dim=16, n_planes=4,
+                          n_tables=6)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # each query must at least find itself, and recall should be decent
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_cosine_self_pairs_exact(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"])
+           for r in cosine_self_pairs(corpus, threshold=0.99,
+                                      exact=True).collect()}
+    assert got == {(1, 2)}
+
+
+def test_token_stats(docs):
+    row = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert row[0]["n_tokens"] == 9
+    assert row[0]["n_distinct_tokens"] == 8  # 'the' twice
+    assert row[0]["n_chars"] == len(DOCS[0][1])
+
+
+def test_quality_score_monotone(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it was a good day for all of us"),
+         (2, "x x x x x x x x x x x x x x x")],
+        "doc_id long, text string")
+    q = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
+    assert q[1] > q[2]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog in the house"),
+         (2, "der Hund und die Katze ist nicht im Haus"),
+         (3, "le chat et le chien dans la maison"),
+         (4, "el gato y el perro en la casa"),
+         (5, "这是一个中文句子"),
+         (6, "zzz qqq www")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und"}
+
+
+def test_fingerprint_stability(docs):
+    fp = {r["doc_id"]: (r["content_hash"], r["shingle_fingerprint"])
+          for r in fingerprint(docs).collect()}
+    assert fp[0][0] == fp[3][0]   # normalized identity
+    assert fp[0][1] == fp[3][1]
+    assert fp[0][0] != fp[2][0]
+
+
+def test_multimodal_plumbing(docs):
+    with_blob = attach_fake_blob(docs)
+    dec = {r["doc_id"]: r for r in decode_media(with_blob).collect()}
+    assert len(dec) == 5
+    assert dec[0]["width"] >= 16 and dec[0]["checksum"] is not None
+    # determinism: same text -> same checksum
+    assert dec[0]["checksum"] != dec[2]["checksum"]
+
+    feats = extract_features(with_blob).collect()
+    assert all(len(r["features"]) == 16 for r in feats)
+
+    # strict mode raises (no codec in container)
+    with pytest.raises(NotImplementedError):
+        decode_media(with_blob, strict=True)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, ("video", "fake", None, None, 3500, 0))],
+        "doc_id long, media_meta struct<media_type:string,format:string,"
+        "width:int,height:int,duration_ms:int,n_bytes:long>")
+    frames = [r["frame_ms"] for r in
+              frame_sample_plan(df, every_ms=1000).collect()]
+    assert frames == [0, 1000, 2000, 3000]

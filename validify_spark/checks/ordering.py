@@ -24,7 +24,10 @@ def ordering_violations(df: DataFrame,
     Output: <conv_col>, <idx_col>, code ∈
       {'dup_turn_idx', 'turn_idx_gap', 'ts_out_of_order'}.
     """
-    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    # tie-break duplicate idx values by ts so lag() is deterministic —
+    # an external oracle ordering by (idx, ts) sees the same sequence
+    order_cols = [idx_col] + ([ts_col] if ts_col else [])
+    w = Window.partitionBy(conv_col).orderBy(*order_cols)
     prev_idx = F.lag(idx_col).over(w)
     codes = [
         F.when((prev_idx.isNotNull()) & (F.col(idx_col) == prev_idx),

@@ -1,0 +1,26 @@
+"""Training-data pipeline operators over document/embedding tables:
+deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding
+cosine), similarity search (brute-force + LSH-bucketed ANN), text
+analysis (token counting, quality scoring, language ID, fingerprinting)
+and multimodal column plumbing. All Spark-first: built-in Column ops and
+higher-order functions; numpy/Arrow UDFs only for simhash bit math and
+the stubbed media decoders."""
+
+from .dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+    simhash_pairs,
+    word_shingles,
+)
+from .similarity import cosine_self_pairs, cosine_topk, lsh_ann_topk
+from .text import fingerprint, lang_id, quality_score, token_stats
+
+__all__ = [
+    "exact_duplicates", "word_shingles", "jaccard_pairs",
+    "minhash_signatures", "minhash_lsh_pairs", "simhash_fingerprints",
+    "simhash_pairs", "cosine_topk", "cosine_self_pairs", "lsh_ann_topk",
+    "token_stats", "quality_score", "lang_id", "fingerprint",
+]

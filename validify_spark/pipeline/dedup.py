@@ -1,0 +1,268 @@
+"""Deduplication operators for large-scale text corpora.
+
+Scale design (the 100 TB path):
+- exact: one hash-aggregate on md5(normalized text) — partial+final agg,
+  no driver data.
+- n-gram Jaccard: shingle → inverted-index self-join. The document-
+  frequency cap (``max_df``) bounds the quadratic blowup of hot shingles
+  — a shingle appearing in d docs contributes d² candidate pairs, so
+  dropping ubiquitous shingles (stop-shingles) is the standard trick.
+- MinHash+LSH: fixed-size signatures (num_perm mins) per doc, banded into
+  buckets; only same-bucket docs are joined. Cost is linear in corpus
+  size + candidate pairs, never all-pairs. Hashes are md5 hex strings so
+  an external SQL engine (DuckDB oracle) reproduces them bit-for-bit.
+- SimHash: 64-bit fingerprints via one Arrow UDF pass, then banded
+  Hamming join (4×16-bit bands → any near-dup within distance k<=3 shares
+  a band by pigeonhole when k < n_bands).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     normalize: bool = True) -> DataFrame:
+    """Docs whose (optionally whitespace/case-normalized) text appears
+    more than once. Output: <id_col>, canonical_id (min id of the
+    group), text_hash, group_size."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    h = F.md5(t)
+    w = Window.partitionBy("text_hash")
+    return (df
+            .select(F.col(id_col), h.alias("text_hash"))
+            .withColumn("group_size", F.count(F.lit(1)).over(w))
+            .withColumn("canonical_id", F.min(id_col).over(w))
+            .filter(F.col("group_size") > 1)
+            .select(id_col, "canonical_id", "text_hash", "group_size"))
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). Built with
+    higher-order functions (no UDF): words → sliding join of n words."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return (df
+            .select(F.col(id_col), F.explode(
+                F.array_distinct(shingles)).alias("shingle")))
+
+
+def _doc_sizes(sh: DataFrame, id_col: str) -> DataFrame:
+    return sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via inverted-index self-join
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  threshold: float = 0.7,
+                  max_df: Optional[int] = None) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard ≥ threshold.
+
+    Output: id_a, id_b (id_a < id_b), intersection, size_a, size_b,
+    jaccard. ``max_df`` drops shingles present in more than max_df docs
+    (bounds the candidate blowup at corpus scale)."""
+    sh = word_shingles(df, id_col, text_col, n).persist()
+    try:
+        sizes = _doc_sizes(sh, id_col)
+        if max_df is not None:
+            hot = (sh.groupBy("shingle")
+                     .agg(F.count(F.lit(1)).alias("df"))
+                     .filter(F.col("df") > max_df)
+                     .select("shingle"))
+            sh_use = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        else:
+            sh_use = sh
+        a = sh_use.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh_use.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (a.join(b, "shingle")
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .groupBy("id_a", "id_b")
+                  .agg(F.count(F.lit(1)).alias("intersection")))
+        sa = sizes.select(F.col(id_col).alias("id_a"),
+                          F.col("set_size").alias("size_a"))
+        sb = sizes.select(F.col(id_col).alias("id_b"),
+                          F.col("set_size").alias("size_b"))
+        out = (inter.join(sa, "id_a").join(sb, "id_b")
+               .withColumn("jaccard", F.round(
+                   F.col("intersection")
+                   / (F.col("size_a") + F.col("size_b")
+                      - F.col("intersection")), 6))
+               .filter(F.col("jaccard") >= threshold)
+               .select("id_a", "id_b", "intersection", "size_a",
+                       "size_b", "jaccard"))
+        return out
+    finally:
+        # note: persist is released lazily; callers materialize promptly
+        pass
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_perm: int = 16) -> DataFrame:
+    """MinHash signature per doc: h_i = min over shingles of
+    md5(i || ':' || shingle). md5 hex strings compare lexicographically
+    = numerically (fixed length), and are reproducible in any SQL engine
+    — the portability matters for oracle cross-checks.
+
+    Output: <id_col>, h0..h{num_perm-1}."""
+    sh = word_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+         .alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_perm: int = 16, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs from banded MinHash buckets, verified with exact
+    Jaccard. With num_perm=16, bands=4 (rows r=4), collision prob at
+    jaccard s is 1-(1-s^4)^4 — the usual S-curve centered near 0.7.
+
+    Output: id_a, id_b, jaccard (exact, ≥ threshold)."""
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.md5(F.concat_ws("|", *cols)).alias(f"band{b}"))
+    sig_b = sig.select(id_col, *band_cols)
+
+    cands = None
+    for b in range(bands):
+        left = sig_b.select(F.col(id_col).alias("id_a"),
+                            F.col(f"band{b}").alias("bucket"))
+        right = sig_b.select(F.col(id_col).alias("id_b"),
+                             F.col(f"band{b}").alias("bucket"))
+        c = (left.join(right, "bucket")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+
+    # exact-verify candidates (cheap: |candidates| << all pairs)
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = _doc_sizes(sh, id_col)
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b_ = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (cands.join(a, "id_a").join(b_, ["id_b", "shingle"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("intersection")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("set_size").alias("size_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("intersection")
+                / (F.col("size_a") + F.col("size_b")
+                   - F.col("intersection")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) — numpy inside one Arrow UDF pass
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc (token-hash bit votes). One vectorized
+    Arrow batch UDF; everything around it stays in SQL.
+
+    Output: <id_col>, simhash (long)."""
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in set(t.lower().split()):
+                h = np.uint64(int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"))
+                bits = ((h >> np.arange(64, dtype=np.uint64))
+                        & np.uint64(1)).astype(np.int64)
+                votes += bits * 2 - 1
+            fp = int(((votes > 0).astype(np.uint64)
+                      << np.arange(64, dtype=np.uint64)).sum())
+            # store as signed 64-bit
+            out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+        return pd.Series(out, dtype="object")
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col))
+                     .alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Banded join: split the 64-bit fingerprint into 4 16-bit bands; any
+    pair within Hamming distance ≤ 3 matches exactly on ≥1 band
+    (pigeonhole), so candidates = same-band docs only — never all pairs.
+    Verify with bit_count(xor) in pure SQL."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    bands = [
+        (F.shiftrightunsigned(F.col("simhash"), 16 * b)
+         .bitwiseAND(F.lit(0xFFFF))).alias(f"b{b}")
+        for b in range(4)
+    ]
+    fb = fp.select(id_col, "simhash", *bands)
+
+    cands = None
+    for b in range(4):
+        left = fb.select(F.col(id_col).alias("id_a"),
+                         F.col("simhash").alias("sh_a"),
+                         F.col(f"b{b}").alias("bucket"))
+        right = fb.select(F.col(id_col).alias("id_b"),
+                          F.col("simhash").alias("sh_b"),
+                          F.col(f"b{b}").alias("bucket"))
+        c = (left.join(right, "bucket")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sh_a", "sh_b"))
+        cands = c if cands is None else cands.unionByName(c)
+    return (cands.distinct()
+            .withColumn("hamming", F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Queries are broadcast (they're small); the corpus side streams through
+  one projection computing dot products with higher-order functions
+  (zip_with + aggregate, all JVM codegen — no Python on the hot path).
+- ``lsh_ann_topk``: random-hyperplane LSH — the 100 TB path. Signature
+  bits from deterministic seeded planes; candidates = same-bucket rows
+  only, exact cosine re-rank within bucket. Recall tunable via
+  n_planes/n_tables.
+- ``cosine_self_pairs``: embedding near-duplicate detection (all pairs
+  with cosine ≥ threshold) via the same LSH bucketing.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, in doubles."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Output: <query_id_col>, <id_col>, cosine, rank. Queries must be
+    small (broadcast); corpus can be arbitrarily large — the join is a
+    broadcast nested loop over one corpus scan, then a per-query top-k
+    window on the (|queries|·|corpus|) scored rows. For big corpora use
+    lsh_ann_topk."""
+    q = F.broadcast(queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec")))
+    scored = (corpus.select(id_col, vec_col)
+              .crossJoin(q)
+              .select(query_id_col, id_col,
+                      cosine(F.col(vec_col), F.col("__qvec"))
+                      .alias("cosine")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("cosine", F.round("cosine", 6)))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)]
+            for _ in range(n_planes)]
+
+
+def lsh_signature(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Hyperplane-sign bucket id as a string of 0/1 bits."""
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(F.transform(vec,
+                                            lambda x: x.cast("double")),
+                                plane) >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "query_id", dim: int = 64,
+                 n_planes: int = 8, n_tables: int = 4,
+                 seed: int = 42) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in ≥1 of
+    n_tables hyperplane tables; exact cosine re-rank inside buckets.
+    Misses are possible (that's the trade) — recall grows with
+    n_tables and shrinks with n_planes."""
+    cand = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed * 1000 + t)
+        c_sig = corpus.select(
+            id_col, vec_col,
+            lsh_signature(F.col(vec_col), planes).alias("bucket"))
+        q_sig = F.broadcast(queries.select(
+            query_id_col,
+            F.col(vec_col).alias("__qvec"),
+            lsh_signature(F.col(vec_col), planes).alias("bucket")))
+        c = c_sig.join(q_sig, "bucket").select(
+            query_id_col, id_col, vec_col, "__qvec")
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.dropDuplicates([query_id_col, id_col])
+    scored = cand.select(
+        query_id_col, id_col,
+        cosine(F.col(vec_col), F.col("__qvec")).alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("cosine", F.round("cosine", 6)))
+
+
+def cosine_self_pairs(corpus: DataFrame, threshold: float = 0.95,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int = 64, n_planes: int = 10,
+                      n_tables: int = 4, seed: int = 42,
+                      exact: bool = False) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold).
+
+    exact=True does the full O(n²) self-join (small corpora / oracle
+    checks); default is LSH-bucketed candidates + exact verify."""
+    a = corpus.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("__vb"))
+    if exact:
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        cand = None
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed * 1000 + t)
+            sig = corpus.select(
+                F.col(id_col),
+                F.col(vec_col),
+                lsh_signature(F.col(vec_col), planes).alias("bucket"))
+            l = sig.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("__va"), "bucket")
+            r = sig.select(F.col(id_col).alias("id_b"),
+                           F.col(vec_col).alias("__vb"), "bucket")
+            c = (l.join(r, "bucket")
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "__va", "id_b", "__vb"))
+            cand = c if cand is None else cand.unionByName(c)
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+    return (cand
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

@@ -1,0 +1,147 @@
+"""Text-analysis operators: token counting, quality scoring, language
+ID, document fingerprinting. Pure Column expressions (JVM codegen; zero
+Python on the row path) so they run at corpus scale and are exactly
+reproducible in an external SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# small built-in stopword marker sets for the language-ID heuristic —
+# high-frequency function words per language (public knowledge)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it",
+           "for", "was", "with", "as", "on", "be"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+           "mit", "von", "zu", "den", "im", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "du",
+           "pour", "dans", "que", "qui", "pas", "sur"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "de",
+           "en", "que", "por", "para", "con", "no"],
+}
+
+
+def _words(text_col: Column) -> Column:
+    w = F.split(F.lower(F.trim(text_col)), r"\s+")
+    return F.filter(w, lambda x: x != "")
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy count (runs of
+    letters / digits / single punctuation, ~the pre-tokenizer used by
+    byte-level BPE vocabularies).
+
+    Output: id, n_chars, n_tokens, n_subword_units, n_distinct_tokens,
+    avg_token_len."""
+    t = F.col(text_col)
+    words = _words(t)
+    bpe_ish = F.filter(
+        F.split(t, r"(?<=\W)|(?=\W)"),  # split at word/non-word edges
+        lambda x: (x != "") & (x != " "))
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.size(words).alias("n_tokens"),
+        F.size(bpe_ish).alias("n_subword_units"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        F.round(
+            F.when(F.size(words) > 0,
+                   F.aggregate(words, F.lit(0),
+                               lambda acc, x: acc + F.length(x))
+                   / F.size(words)).otherwise(0.0), 6)
+         .alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  stopwords: list | None = None) -> DataFrame:
+    """Heuristic document-quality components + composite score in [0,1]
+    (length band, alpha ratio, punctuation ratio, stopword ratio,
+    repetition) — the usual pretraining-corpus filters.
+
+    Output: id, n_chars, alpha_ratio, punct_ratio, stopword_ratio,
+    repetition_ratio, quality."""
+    sw = stopwords or LANG_MARKERS["en"]
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1))
+    words = _words(t)
+    n_words = F.greatest(F.size(words), F.lit(1))
+
+    alpha_ratio = F.length(F.regexp_replace(t, r"[^\p{L}]", "")) / n
+    punct_ratio = F.length(
+        F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", "")) / n
+    sw_arr = F.array(*[F.lit(w) for w in sw])
+    stopword_ratio = (F.size(F.filter(
+        words, lambda x: F.array_contains(sw_arr, x))) / n_words)
+    repetition_ratio = (F.lit(1.0)
+                        - F.size(F.array_distinct(words)) / n_words)
+
+    length_ok = F.when((F.length(t) >= 50) & (F.length(t) <= 100000),
+                       F.lit(1.0)).otherwise(F.lit(0.0))
+    quality = (0.3 * length_ok
+               + 0.3 * alpha_ratio
+               + 0.2 * F.least(stopword_ratio * 4, F.lit(1.0))
+               + 0.2 * (1.0 - repetition_ratio))
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(repetition_ratio, 6).alias("repetition_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Marker-word language ID over LANG_MARKERS + a CJK-codepoint check
+    for zh. Deterministic tie-break: highest hit-count wins, ties by
+    language code order; 'und' when nothing matches.
+
+    Output: id, pred_lang, lang_hits."""
+    t = F.col(text_col)
+    words = _words(t)
+    n_words = F.greatest(F.size(words), F.lit(1))
+    scores = []
+    for code in sorted(LANG_MARKERS):
+        arr = F.array(*[F.lit(w) for w in LANG_MARKERS[code]])
+        hits = F.size(F.filter(words,
+                               lambda x: F.array_contains(arr, x)))
+        scores.append((code, hits))
+    cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
+    scores.append(("zh", cjk))
+
+    structs = F.array(*[
+        F.struct(hits.cast("long").alias("hits"), F.lit(code).alias("lang"))
+        for code, hits in scores
+    ])
+    best = F.array_max(F.filter(structs, lambda s: s["hits"] > 0))
+    return df.select(
+        F.col(id_col),
+        F.coalesce(best["lang"], F.lit("und")).alias("pred_lang"),
+        F.coalesce(best["hits"], F.lit(0)).alias("lang_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", n: int = 3) -> DataFrame:
+    """Content fingerprints: md5 of the normalized text (exact identity)
+    and a winnowing-style rolling fingerprint = min md5 over word
+    n-gram shingles (robust to local edits).
+
+    Output: id, content_hash, shingle_fingerprint."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    words = _words(F.col(text_col))
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_hash"),
+        F.array_min(shingles).alias("shingle_fingerprint"),
+    )
