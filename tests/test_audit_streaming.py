@@ -1,0 +1,110 @@
+"""Checkpoint/resume + audit lineage, and batch/stream parity."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from validify_spark.data import generate_turns, standard_turns_ruleset
+from validify_spark.engine import ValidationEngine
+from validify_spark.io import AuditedValidationRun, read_audit_log
+from validify_spark.streaming import (
+    stream_partition_metrics, stream_violations,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="validify_audit_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _engine():
+    return ValidationEngine(standard_turns_ruleset(),
+                            key_cols=["conv_id", "turn_idx"])
+
+
+def test_resume_never_revalidates_and_matches_full_run(spark, tmpdir):
+    turns = generate_turns(spark, 3000, seed=42).persist()
+    run = AuditedValidationRun(_engine(), tmpdir, run_id="r1",
+                               n_buckets=8)
+    # simulate a crash after 3 of 8 partition groups
+    first = run.run(turns, max_partitions=3)
+    assert len(first) == 3
+    assert run.completed_partitions() == {p["partition_id"]
+                                          for p in first}
+    # restart: a fresh object over the same dir resumes
+    run2 = AuditedValidationRun(_engine(), tmpdir, run_id="r1",
+                                n_buckets=8)
+    second = run2.run(turns)
+    assert len(second) == 5  # only the pending ones
+    done_ids = [p["partition_id"] for p in first + second]
+    assert len(done_ids) == len(set(done_ids))  # nothing ran twice
+
+    # final violations == single-shot batch run
+    resumed = run2.violations(spark)
+    batch = _engine().violations(turns)
+    key = ["conv_id", "turn_idx", "location", "code"]
+    assert (resumed.select(key).exceptAll(batch.select(key)).isEmpty()
+            and batch.select(key).exceptAll(resumed.select(key))
+            .isEmpty())
+
+    # audit table carries lineage + metrics for all 8 groups
+    audit = read_audit_log(spark, tmpdir, "r1")
+    rows = audit.collect()
+    assert len(rows) == 8
+    assert sum(r["n_rows"] for r in rows) == 3000
+    assert all(r["ruleset"] == "turns" and r["wall_sec"] > 0
+               for r in rows)
+    turns.unpersist()
+
+
+def test_rerun_is_noop(spark, tmpdir):
+    turns = generate_turns(spark, 800, seed=42)
+    run = AuditedValidationRun(_engine(), tmpdir, run_id="r2",
+                               n_buckets=4)
+    assert len(run.run(turns)) == 4
+    assert run.run(turns) == []  # fully complete → no work
+
+
+def test_stream_violations_match_batch(spark, tmpdir):
+    turns = generate_turns(spark, 2000, seed=42)
+    src_dir = f"{tmpdir}/turns_src"
+    turns.write.parquet(src_dir)
+
+    stream = (spark.readStream
+              .schema(turns.schema)
+              .parquet(src_dir))
+    eng = _engine()
+    sv = stream_violations(eng, stream)
+    q = (sv.writeStream.format("memory").queryName("viol_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT conv_id, turn_idx, location, code "
+                    "FROM viol_stream")
+    want = eng.violations(spark.read.parquet(src_dir)) \
+              .select("conv_id", "turn_idx", "location", "code")
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    assert got.count() > 0
+
+
+def test_stream_windowed_metrics(spark, tmpdir):
+    turns = generate_turns(spark, 1000, seed=42) \
+        .filter(F.col("ts").isNotNull())
+    src_dir = f"{tmpdir}/turns_src2"
+    turns.write.parquet(src_dir)
+    stream = spark.readStream.schema(turns.schema).parquet(src_dir)
+    m = stream_partition_metrics(_engine(), stream, window="1 hour")
+    q = (m.writeStream.format("memory").queryName("metrics_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # append mode + availableNow: only windows past the watermark emit;
+    # the job must at least run and produce a valid schema
+    rows = spark.sql("SELECT * FROM metrics_stream").collect()
+    assert {"window", "n_rows", "n_failed_rows", "passed"} <= {
+        c for c in spark.table("metrics_stream").columns}
+    for r in rows:
+        assert r["n_rows"] >= r["n_failed_rows"]

@@ -30,6 +30,7 @@ from .rules import (
     iter_,
     length,
     lowercase,
+    map_values_,
     must_match,
     non_control_char,
     not_in,
@@ -53,6 +54,7 @@ __all__ = [
     "length", "range_", "email", "url", "ip", "phone", "credit_card",
     "non_control_char", "required", "regex", "contains", "contains_not",
     "is_in", "not_in", "must_match", "custom", "time", "iter_",
+    "map_values_",
     "schema_rule", "trim", "lowercase", "uppercase", "capitalize",
     "custom_modifier",
 ]

@@ -256,6 +256,33 @@ def _time_ok(rule: Rule, c: Column, run_ts: _dt.datetime):
 # ---------------------------------------------------------------------------
 
 
+def pass_expr(rule: Rule, schema: T.StructType,
+              run_ts: _dt.datetime, df=None) -> Column:
+    """Compact boolean pass-predicate for a rule: True ⇔ the row has no
+    violation. NULL results mean "not proven ok" — callers must coalesce
+    to False (a NULL predicate outcome is a violation, matching
+    compile_rule).
+
+    This is the cheap phase-1 expression of the two-phase evaluation:
+    the engine filters rows on the conjunction of pass_exprs (small
+    expression → whole-stage codegen) and builds the expensive
+    violation structs only for the failing minority.
+    """
+    if rule.kind == "schema":
+        pred = rule.params["predicate"]
+        return F.expr(pred) if isinstance(pred, str) else pred(df)
+    if rule.kind == "iter":
+        return F.size(_compile_iter(rule, schema, run_ts)) == 0
+    if rule.kind == "map_values":
+        return F.size(_compile_map_values(rule, schema, run_ts)) == 0
+    c = F.col(rule.column)
+    dtype = resolve_type(schema, rule.column)
+    ok, _ = ok_and_params(rule, c, dtype, run_ts)
+    if rule.kind == "required":
+        return ok
+    return c.isNull() | ok
+
+
 def compile_rule(rule: Rule, schema: T.StructType,
                  run_ts: _dt.datetime) -> Column:
     """Compile one rule into an ``array<violation-struct>`` Column
@@ -265,6 +292,8 @@ def compile_rule(rule: Rule, schema: T.StructType,
 
     if rule.kind == "iter":
         return _compile_iter(rule, schema, run_ts)
+    if rule.kind == "map_values":
+        return _compile_map_values(rule, schema, run_ts)
 
     c = F.col(rule.column)
     dtype = resolve_type(schema, rule.column)
@@ -354,6 +383,42 @@ def _compile_iter(rule: Rule, schema: T.StructType,
                      lambda v: v.isNotNull())
     # NULL array passes (option-of-array, iter.rs option cases)
     return F.when(arr.isNull(), empty_violations()).otherwise(viols)
+
+
+def _compile_map_values(rule: Rule, schema: T.StructType,
+                        run_ts: _dt.datetime) -> Column:
+    """Per-value validation on a map column; locations carry the map KEY
+    (error.rs:117-158 — golden '/name/3/stuff',
+    derive_tests/tests/error_location.rs). Inner rule may target a
+    subfield of struct values."""
+    inner: Rule = rule.params["inner"]
+    col = F.col(rule.column)
+    mtype = resolve_type(schema, rule.column)
+    vtype = mtype.valueType if isinstance(mtype, T.MapType) else None
+    sub = inner.column
+
+    base_loc = rule.location
+    field_name = (rule.display_name or rule.column.split(".")[-1])
+
+    def per_entry(e: Column) -> Column:
+        elem = e["value"][sub] if sub else e["value"]
+        edt = (resolve_type(vtype, sub)
+               if (sub and isinstance(vtype, T.StructType)) else vtype)
+        ok, prm = ok_and_params(inner, elem, edt, run_ts)
+        loc = F.concat(F.lit(base_loc + "/"), e["key"].cast("string"),
+                       F.lit("/" + sub) if sub else F.lit(""))
+        viol = make_violation(rule.rule_id, field_name, loc,
+                              inner.effective_code,
+                              inner.message or rule.message, prm)
+        passes = elem.isNull() | ok
+        if inner.kind == "required":
+            passes = ok
+        return F.when(passes, F.lit(None).cast(VIOLATION_STRUCT_DDL)) \
+                .otherwise(viol)
+
+    viols = F.filter(F.transform(F.map_entries(col), per_entry),
+                     lambda v: v.isNotNull())
+    return F.when(col.isNull(), empty_violations()).otherwise(viols)
 
 
 def compile_schema_rule(rule: Rule, df) -> Column:

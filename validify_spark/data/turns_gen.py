@@ -100,7 +100,7 @@ def generate_turns(spark: SparkSession, n_rows: int, seed: int = 42,
 
     ts = F.timestamp_seconds(
         F.lit(int(BASE_TS.timestamp()))
-        + F.col("conv_num") * 3600 + F.col("turn_idx") * 60
+        + (F.col("conv_num") % 500_000) * 60 + F.col("turn_idx") * 60
         + F.when(h % 73 == 0, -600).otherwise(0))
     ts = (F.when(h % 79 == 0,
                  F.lit(dt.datetime(2600, 1, 1)))

@@ -70,6 +70,36 @@ class ValidationEngine:
         return apply_modifiers(df, self.ruleset.modifiers)
 
     # -- violations --------------------------------------------------------
+    def _pass_all(self, df: DataFrame):
+        """Phase-1 predicate: True ⇔ row has NO violation. Compact
+        conjunction of per-rule pass predicates — stays inside
+        whole-stage codegen even for large rulesets, unlike the full
+        violation-struct expression (which can exceed codegen method
+        limits and fall back to interpreted eval)."""
+        schema = df.schema
+
+        def p(rule):
+            return F.coalesce(
+                C.pass_expr(rule, schema, self.run_ts, df), F.lit(False))
+
+        presence = self.ruleset.presence_rules
+        mains = self.ruleset.main_rules
+        presence_pass = None
+        for r in presence:
+            presence_pass = p(r) if presence_pass is None \
+                else (presence_pass & p(r))
+        main_pass = None
+        for r in mains:
+            main_pass = p(r) if main_pass is None else (main_pass & p(r))
+        if presence_pass is None and main_pass is None:
+            return F.lit(True)
+        if presence_pass is None:
+            return main_pass
+        if main_pass is None:
+            return presence_pass
+        # presence failure gates main rules, but the row still fails
+        return presence_pass & main_pass
+
     def _violations_array(self, df: DataFrame):
         """Build the single flattened array<violation> Column."""
         schema = df.schema
@@ -109,8 +139,11 @@ class ValidationEngine:
     def violations(self, df: DataFrame,
                    pre_normalized: bool = False) -> DataFrame:
         src = df if pre_normalized else self.normalize(df)
-        viol = self._violations_array(src)
-        out = (src
+        # two-phase: cheap boolean scan over everything, expensive
+        # violation-struct construction only on the failing minority
+        failing = src.filter(~self._pass_all(src))
+        viol = self._violations_array(failing)
+        out = (failing
                .select(*self.key_cols, viol.alias("_v"))
                .filter(F.size("_v") > 0)
                .select(*self.key_cols, F.explode("_v").alias("v"))
@@ -128,8 +161,7 @@ class ValidationEngine:
     def with_valid_flag(self, df: DataFrame,
                         flag: str = "is_valid") -> DataFrame:
         src = self.normalize(df)
-        return src.withColumn(
-            flag, F.size(self._violations_array(src)) == 0)
+        return src.withColumn(flag, self._pass_all(src))
 
     # -- full run -----------------------------------------------------------
     def validate(self, df: DataFrame) -> ValidationResult:
@@ -147,7 +179,7 @@ class ValidationEngine:
         src = self.normalize(df)
         pc = F.col(partition_col) if isinstance(partition_col, str) \
             else partition_col
-        failed = (F.size(self._violations_array(src)) > 0).cast("long")
+        failed = (~self._pass_all(src)).cast("long")
         return (src
                 .groupBy(pc.alias("partition_id"))
                 .agg(F.count("*").alias("n_rows"),

@@ -1,0 +1,157 @@
+"""Checkpointed, resumable validation runs with per-partition lineage +
+metrics (north_rule: "resumable from checkpoint with per-partition
+lineage + metrics").
+
+Shape:
+- The input is validated partition-group by partition-group (a
+  partition expression over e.g. bucket(conv_id) or date(ts)).
+- Each completed group writes (a) its violations under
+  ``out_dir/violations/partition_id=<p>/`` and (b) an atomic JSON
+  marker ``out_dir/markers/<p>.json`` carrying lineage + metrics.
+- On restart with the same run directory, completed markers are
+  anti-joined against the planned groups — finished work is never
+  recomputed, partial work is overwritten idempotently (dynamic
+  partition overwrite per group).
+
+Markers are plain filesystem files (os.replace = atomic rename), which
+works on local disk in the sandbox and maps 1:1 onto object-store
+conditional puts / an Iceberg audit table in production.
+
+At 10^12 rows the unit of restart is the partition group (e.g. 4096
+conv_id buckets), so a failed 40-hour run resumes at the granularity of
+minutes of lost work, and the audit table doubles as a progress and
+throughput dashboard.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import tempfile
+import time
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..engine import ValidationEngine
+
+AUDIT_SCHEMA = ("run_id string, partition_id string, n_rows long, "
+                "n_failed_rows long, n_violations long, passed boolean, "
+                "ruleset string, started_at string, finished_at string, "
+                "wall_sec double")
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+class AuditedValidationRun:
+    """Drive a ValidationEngine over an input in resumable partition
+    groups."""
+
+    def __init__(self, engine: ValidationEngine, out_dir: str,
+                 run_id: str = "run1",
+                 partition_expr: Optional[Column] = None,
+                 n_buckets: int = 16):
+        self.engine = engine
+        self.out_dir = out_dir.rstrip("/")
+        self.run_id = run_id
+        self.n_buckets = n_buckets
+        self.partition_expr = partition_expr
+        os.makedirs(self._marker_dir, exist_ok=True)
+
+    # -- layout -----------------------------------------------------------
+    @property
+    def _marker_dir(self) -> str:
+        return f"{self.out_dir}/markers/{self.run_id}"
+
+    @property
+    def violations_dir(self) -> str:
+        return f"{self.out_dir}/violations/{self.run_id}"
+
+    @property
+    def audit_path(self) -> str:
+        return f"{self.out_dir}/audit/{self.run_id}"
+
+    def _partition_col(self) -> Column:
+        if self.partition_expr is not None:
+            return self.partition_expr
+        key = self.engine.key_cols[0]
+        return (F.abs(F.xxhash64(F.col(key))) % self.n_buckets) \
+            .cast("string")
+
+    # -- progress ---------------------------------------------------------
+    def completed_partitions(self) -> set:
+        if not os.path.isdir(self._marker_dir):
+            return set()
+        return {f[:-5] for f in os.listdir(self._marker_dir)
+                if f.endswith(".json")}
+
+    def planned_partitions(self, df: DataFrame) -> list:
+        return sorted(
+            r["p"] for r in
+            df.select(self._partition_col().alias("p")).distinct()
+              .collect())
+
+    def pending_partitions(self, df: DataFrame) -> list:
+        done = self.completed_partitions()
+        return [p for p in self.planned_partitions(df) if p not in done]
+
+    # -- execution ----------------------------------------------------------
+    def run(self, df: DataFrame,
+            max_partitions: Optional[int] = None) -> list:
+        """Validate all pending partition groups; returns the marker
+        payloads written this call. ``max_partitions`` limits work (used
+        by the resume test to simulate a crash)."""
+        spark = df.sparkSession
+        pcol = self._partition_col()
+        src = df.withColumn("__pid", pcol)
+        pending = self.pending_partitions(df)
+        if max_partitions is not None:
+            pending = pending[:max_partitions]
+        written = []
+        for pid in pending:
+            started = dt.datetime.now(dt.timezone.utc)
+            t0 = time.perf_counter()
+            part = src.filter(F.col("__pid") == pid).drop("__pid")
+            res = self.engine.validate(part)
+            viols = res.violations.persist()
+            n_viol = viols.count()
+            n_failed = (viols.select(*self.engine.key_cols).distinct()
+                        .count())
+            n_rows = part.count()
+            (viols.write.mode("overwrite")
+                  .parquet(f"{self.violations_dir}/partition_id={pid}"))
+            viols.unpersist()
+            payload = {
+                "run_id": self.run_id, "partition_id": pid,
+                "n_rows": n_rows, "n_failed_rows": n_failed,
+                "n_violations": n_viol, "passed": n_viol == 0,
+                "ruleset": self.engine.ruleset.name,
+                "started_at": started.isoformat(),
+                "finished_at": dt.datetime.now(
+                    dt.timezone.utc).isoformat(),
+                "wall_sec": round(time.perf_counter() - t0, 3),
+            }
+            # audit row first, marker last: a crash between the two re-runs
+            # the partition (idempotent overwrite), never skips it
+            spark.createDataFrame([tuple(payload.values())],
+                                  AUDIT_SCHEMA) \
+                .write.mode("append").parquet(self.audit_path)
+            _atomic_write_json(f"{self._marker_dir}/{pid}.json", payload)
+            written.append(payload)
+        return written
+
+    def violations(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.violations_dir)
+
+
+def read_audit_log(spark: SparkSession, out_dir: str,
+                   run_id: str = "run1") -> DataFrame:
+    return spark.read.parquet(f"{out_dir.rstrip('/')}/audit/{run_id}")

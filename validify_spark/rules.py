@@ -42,6 +42,7 @@ VALIDATOR_KINDS = frozenset(
         "custom",
         "time",
         "iter",
+        "map_values",
         "must_match",
         "schema",
     }
@@ -131,7 +132,7 @@ class Rule:
             op = self.params.get("op")
             inclusive = bool(self.params.get("inclusive", False))
             return TIME_OP_CODES[(op, inclusive)]
-        if self.kind == "iter":
+        if self.kind in ("iter", "map_values"):
             return self.params["inner"].effective_code
         return DEFAULT_CODES.get(self.kind, self.kind)
 
@@ -260,6 +261,12 @@ def iter_(column: str, inner: Rule, **kw: Any) -> Rule:
     return _mk("iter", column, {"inner": inner}, **kw)
 
 
+def map_values_(column: str, inner: Rule, **kw: Any) -> Rule:
+    """Apply ``inner`` to each VALUE of map column ``column``; violation
+    locations carry the map key (error.rs:117-158)."""
+    return _mk("map_values", column, {"inner": inner}, **kw)
+
+
 def schema_rule(predicate: Any, code: str = "schema",
                 message: Optional[str] = None, **kw: Any) -> Rule:
     """Whole-row rule. ``predicate``: SQL string or ``df -> Column`` —
@@ -329,7 +336,8 @@ class RuleSet:
     def _check_rule(self, r: Rule) -> None:
         if r.kind not in VALIDATOR_KINDS:
             raise RuleSpecError(f"unknown rule kind: {r.kind}")
-        if r.kind != "schema" and not r.column and r.kind != "iter":
+        if r.kind != "schema" and not r.column and r.kind not in (
+                "iter", "map_values"):
             raise RuleSpecError(f"rule {r.kind} needs a column")
         p = r.params
         if r.kind == "length":
@@ -364,13 +372,18 @@ class RuleSet:
                 raise RuleSpecError("ip: format must be v4|v6")
         elif r.kind == "time":
             self._check_time(p)
-        elif r.kind == "iter":
+        elif r.kind in ("iter", "map_values"):
             inner = p.get("inner")
             if not isinstance(inner, Rule):
-                raise RuleSpecError("iter: inner must be a Rule")
-            if inner.kind in ("iter", "schema", "required"):
+                raise RuleSpecError(f"{r.kind}: inner must be a Rule")
+            if inner.kind in ("iter", "map_values", "schema", "required"):
                 # tokens.rs:170-175: no nested iter/validate inside iter
-                raise RuleSpecError(f"iter: cannot nest {inner.kind}")
+                raise RuleSpecError(f"{r.kind}: cannot nest {inner.kind}")
+            if r.kind == "map_values" and inner.kind in (
+                    "email", "url", "phone", "ip"):
+                raise RuleSpecError(
+                    "map_values: UDF-backed inner kinds unsupported "
+                    "(Spark bans UDFs in higher-order lambdas)")
         elif r.kind == "custom":
             if not callable(p.get("builder")):
                 raise RuleSpecError("custom: builder must be callable")
