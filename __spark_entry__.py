@@ -307,6 +307,54 @@ def q_iter_emails(spark, sf_dir):
     return eng.violations(t).select("c_custkey", "code", "location")
 
 
+def q_contains(spark, sf_dir):
+    t = _load(spark, sf_dir, "part")["part"]
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.contains("p_name", " ")]),
+        key_cols=["p_partkey"])
+    return eng.violations(t).select("p_partkey", "code")
+
+
+def q_contains_not(spark, sf_dir):
+    t = _load(spark, sf_dir, "customer")["customer"]
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.contains_not("c_name", "00")]),
+        key_cols=["c_custkey"])
+    return eng.violations(t).select("c_custkey", "code")
+
+
+def q_custom_rule(spark, sf_dir):
+    """Custom Column-builder rule (§2.9 preferred form — stays in
+    Catalyst): l_extendedprice must be >= 900 * l_quantity... expressed
+    as a cross-referencing builder."""
+    t = _load(spark, sf_dir, "lineitem")["lineitem"]
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.custom(
+            "l_extendedprice",
+            lambda c: c >= F.col("l_quantity") * 900.0,
+            code="price_floor")]),
+        key_cols=["l_orderkey", "l_linenumber"])
+    return eng.violations(t).select("l_orderkey", "l_linenumber", "code")
+
+
+def q_map_values(spark, sf_dir):
+    """map_values rule: per-value check with map-key locations, over a
+    map synthesized from order columns."""
+    _load(spark, sf_dir, "orders")
+    t = spark.sql("""
+      SELECT o_orderkey,
+             map('total', o_totalprice,
+                 'half', o_totalprice / 2) AS amounts
+      FROM orders""")
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.map_values_(
+            "amounts",
+            Rule(kind="range", column=None,
+                 params={"min": 0.0, "max": 300000.0}))]),
+        key_cols=["o_orderkey"])
+    return eng.violations(t).select("o_orderkey", "code", "location")
+
+
 def q_schema_rule(spark, sf_dir):
     t = _load(spark, sf_dir, "orders")["orders"]
     eng = vs.ValidationEngine(
@@ -524,6 +572,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phone": q_phone,
         "credit_card": q_credit_card,
         "iter_emails": q_iter_emails,
+        "contains": q_contains,
+        "contains_not": q_contains_not,
+        "custom_rule": q_custom_rule,
+        "map_values": q_map_values,
         "schema_rule": q_schema_rule,
         "presence_gating": q_presence_gating,
         "modifiers": q_modifiers,
@@ -654,6 +706,31 @@ def oracle_sql() -> dict[str, str]:
           SELECT c_custkey, 'email' AS code,
                  '/emails/1' AS location
           FROM customer WHERE c_custkey % 9 = 0""",
+
+        "contains": """
+          SELECT p_partkey, 'contains' AS code FROM part
+          WHERE p_name IS NOT NULL AND NOT contains(p_name, ' ')""",
+
+        "contains_not": """
+          SELECT c_custkey, 'contains_not' AS code FROM customer
+          WHERE c_name IS NOT NULL AND contains(c_name, '00')""",
+
+        "custom_rule": """
+          SELECT l_orderkey, l_linenumber, 'price_floor' AS code
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
+            AND NOT (l_extendedprice >= l_quantity * 900.0)""",
+
+        "map_values": """
+          SELECT o_orderkey, 'range' AS code, '/amounts/total' AS location
+          FROM orders
+          WHERE NOT (CAST(o_totalprice AS DOUBLE) >= 0.0
+                     AND CAST(o_totalprice AS DOUBLE) <= 300000.0)
+          UNION ALL
+          SELECT o_orderkey, 'range', '/amounts/half'
+          FROM orders
+          WHERE NOT (CAST(o_totalprice / 2 AS DOUBLE) >= 0.0
+                     AND CAST(o_totalprice / 2 AS DOUBLE) <= 300000.0)""",
 
         "schema_rule": """
           SELECT o_orderkey, 'range' AS code, '/o_totalprice' AS location

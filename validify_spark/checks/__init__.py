@@ -9,9 +9,11 @@ from .uniqueness import uniqueness_violations
 from .referential import referential_orphans
 from .drift import categorical_histogram, drift_report, length_histogram
 from .ordering import ordering_violations
+from .skew import salted_agg, salted_collect_list, with_salt
 
 __all__ = [
     "stats_profile", "stats_profile_exact", "uniqueness_violations",
     "referential_orphans", "categorical_histogram", "length_histogram",
     "drift_report", "ordering_violations",
+    "salted_agg", "salted_collect_list", "with_salt",
 ]
