@@ -62,7 +62,7 @@ def test_resume_never_revalidates_and_matches_full_run(spark, tmpdir):
 
 
 def test_rerun_is_noop(spark, tmpdir):
-    turns = generate_turns(spark, 800, seed=42)
+    turns = generate_turns(spark, 800, seed=42).persist()
     run = AuditedValidationRun(_engine(), tmpdir, run_id="r2",
                                n_buckets=4)
     assert len(run.run(turns)) == 4

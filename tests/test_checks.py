@@ -115,7 +115,8 @@ def test_generate_turns_has_pathologies(spark):
 
 
 def test_standard_ruleset_over_turns(spark):
-    t = generate_turns(spark, 3000, seed=42)
+    # persist: avoid generator-into-predicate pushdown (64 KB codegen)
+    t = generate_turns(spark, 3000, seed=42).persist()
     eng = ValidationEngine(standard_turns_ruleset(),
                            key_cols=["conv_id", "turn_idx"])
     summary = {r["code"]: r["n_violations"]
