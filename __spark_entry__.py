@@ -142,7 +142,11 @@ def q_turns_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercises modifiers (trim/lowercase), option semantics, and 8 rule
     kinds in one fused single-scan pass."""
     _load(spark, sf_dir, "lineitem")
-    turns = spark.sql(DERIVE_TURNS_SQL)
+    # localCheckpoint: a materialization barrier so filter pushdown
+    # cannot substitute the derivation CASE expressions into all 8 rule
+    # predicates (which would exceed Janino's 64 KB codegen limit and
+    # fall back to ~10x-slower interpreted eval)
+    turns = spark.sql(DERIVE_TURNS_SQL).localCheckpoint(eager=False)
     eng = vs.ValidationEngine(_turns_ruleset(),
                               key_cols=["conv_id", "turn_idx"],
                               run_ts=_RUN_TS)

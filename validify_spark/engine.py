@@ -140,7 +140,11 @@ class ValidationEngine:
                    pre_normalized: bool = False) -> DataFrame:
         src = df if pre_normalized else self.normalize(df)
         # two-phase: cheap boolean scan over everything, expensive
-        # violation-struct construction only on the failing minority
+        # violation-struct construction only on the failing minority.
+        # (For large rulesets the phase-2 projection can exceed Janino's
+        # 64 KB codegen method limit and run interpreted — acceptable by
+        # design because it sees only failing rows; phase 1, which scans
+        # the full table, always stays within codegen.)
         failing = src.filter(~self._pass_all(src))
         viol = self._violations_array(failing)
         out = (failing
