@@ -322,7 +322,7 @@ def q_contains(spark, sf_dir):
 def q_contains_not(spark, sf_dir):
     t = _load(spark, sf_dir, "customer")["customer"]
     eng = vs.ValidationEngine(
-        vs.RuleSet(rules=[vs.contains_not("c_name", "00")]),
+        vs.RuleSet(rules=[vs.contains_not("c_name", "0000000")]),
         key_cols=["c_custkey"])
     return eng.violations(t).select("c_custkey", "code")
 
@@ -717,7 +717,7 @@ def oracle_sql() -> dict[str, str]:
 
         "contains_not": """
           SELECT c_custkey, 'contains_not' AS code FROM customer
-          WHERE c_name IS NOT NULL AND contains(c_name, '00')""",
+          WHERE c_name IS NOT NULL AND contains(c_name, '0000000')""",
 
         "custom_rule": """
           SELECT l_orderkey, l_linenumber, 'price_floor' AS code
