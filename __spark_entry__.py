@@ -232,6 +232,60 @@ def q_time_ops(spark, sf_dir):
     return eng.violations(t).select("o_orderkey", "code")
 
 
+def q_time_now_ops(spark, sf_dir):
+    """The four *-now time ops + dynamic in_period(target_column),
+    deterministic via pinned run_ts (time.rs:13-70 semantics; inclusive
+    flag honored for before_now)."""
+    _load(spark, sf_dir, "orders")
+    t = spark.sql("""
+      SELECT o_orderkey,
+             CAST(o_orderdate AS TIMESTAMP) AS ts1,
+             CAST(o_orderdate AS TIMESTAMP) - INTERVAL 2 YEAR AS ts2,
+             timestampadd(DAY, CAST(o_orderkey % 730 AS INT) - 365,
+                          CAST(o_orderdate AS TIMESTAMP)) AS anchor
+      FROM orders""")
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[
+            vs.time("ts1", op="before_now", inclusive=True),
+            vs.time("ts2", op="after_now"),
+            vs.time("ts1", op="before_from_now", days=365),
+            vs.time("ts2", op="after_from_now", days=365),
+            vs.time("ts1", op="in_period", target_column="anchor",
+                    days=400),
+        ]),
+        key_cols=["o_orderkey"], run_ts=dt.datetime(1995, 6, 1))
+    return eng.violations(t).select("o_orderkey", "code", "location")
+
+
+def q_missing_column(spark, sf_dir):
+    """Payload column-existence: a rule naming an absent column emits
+    `required` per row instead of AnalysisException
+    (derive_tests/tests/payload.rs:14-22)."""
+    t = _load(spark, sf_dir, "customer")["customer"]
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.length("c_name", min=1),
+                          vs.required("loyalty_tier")]),
+        key_cols=["c_custkey"])
+    return eng.violations(t).select("c_custkey", "code", "location",
+                                    "field")
+
+
+def q_variant_rules(spark, sf_dir):
+    """Enum-variant analog (derive_tests/tests/enum.rs): per-variant
+    price caps gated on o_orderstatus; unknown variants violate is_in."""
+    _load(spark, sf_dir, "orders")
+    t = spark.sql("""
+      SELECT o_orderkey, o_orderstatus AS kind, o_totalprice
+      FROM orders""")
+    rules = vs.variant_rules("kind", {
+        "O": [vs.range_("o_totalprice", min=0, max=200000)],
+        "F": [vs.range_("o_totalprice", min=0, max=150000)],
+    }, known_only=True)
+    eng = vs.ValidationEngine(vs.RuleSet(rules=rules),
+                              key_cols=["o_orderkey"])
+    return eng.violations(t).select("o_orderkey", "code", "location")
+
+
 def q_email(spark, sf_dir):
     """Email validation on a deterministically synthesized column —
     exercises the HTML5 fast path (email.rs:22-72 semantics)."""
@@ -312,9 +366,11 @@ def q_iter_emails(spark, sf_dir):
 
 
 def q_contains(spark, sf_dir):
+    # needle 'red' splits the data (~13% of part names contain it), so
+    # both pass and fail branches are exercised against the oracle
     t = _load(spark, sf_dir, "part")["part"]
     eng = vs.ValidationEngine(
-        vs.RuleSet(rules=[vs.contains("p_name", " ")]),
+        vs.RuleSet(rules=[vs.contains("p_name", "red")]),
         key_cols=["p_partkey"])
     return eng.violations(t).select("p_partkey", "code")
 
@@ -416,9 +472,20 @@ def q_uniqueness(spark, sf_dir):
     return uniqueness_violations(t, ["o_custkey"])
 
 
+_CHILD_ORPHANS_SQL = """
+SELECT CASE WHEN l_orderkey % 50 = 0 THEN -(l_partkey + 1)
+       ELSE l_partkey END AS l_partkey
+FROM lineitem
+"""
+
+
 def q_referential(spark, sf_dir):
+    # synthesize orphans (negative keys never in part) on ~2% of rows so
+    # the anti-join is exercised on both matched and orphan paths —
+    # TPC-H alone has zero orphans, which made this check vacuous
     d = _load(spark, sf_dir, "lineitem", "part")
-    return referential_orphans(d["lineitem"], "l_partkey", d["part"],
+    child = spark.sql(_CHILD_ORPHANS_SQL)
+    return referential_orphans(child, "l_partkey", d["part"],
                                "p_partkey", broadcast_parent=True)
 
 
@@ -529,6 +596,19 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(t, queries, k=5, dim=64, n_planes=6, n_tables=4)
 
 
+def q_ann_recall(spark, sf_dir):
+    """Measured recall@k of the LSH ANN vs the exact cosine baseline —
+    the quality harness for q_ann_lsh. Deterministic (seeded planes)
+    but the LSH itself has no SQL analog → rows-only check; the pytest
+    suite asserts recall >= 0.9 at test scale."""
+    from validify_spark.pipeline import ann_recall_at_k
+    t = _load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = (t.filter("vec_id < 3")
+               .selectExpr("vec_id AS query_id", "embedding"))
+    return ann_recall_at_k(t, queries, k=5, dim=64, n_planes=6,
+                           n_tables=4)
+
+
 def q_stats_profile_sketch(spark, sf_dir):
     """HLL/GK sketch profile — the 100 TB path; approximate by design,
     rows-only check."""
@@ -570,6 +650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex": q_regex,
         "must_match": q_must_match,
         "time_ops": q_time_ops,
+        "time_now_ops": q_time_now_ops,
+        "missing_column": q_missing_column,
+        "variant_rules": q_variant_rules,
         "email": q_email,
         "ip_v4": q_ip_v4,
         "url": q_url,
@@ -600,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -665,7 +749,11 @@ def oracle_sql() -> dict[str, str]:
           SELECT l_orderkey, l_linenumber, 'must_match' AS code,
                  l_returnflag AS actual, l_linestatus AS target
           FROM lineitem
-          WHERE l_returnflag IS DISTINCT FROM l_linestatus""",
+          -- engine passes NULL for every rule except required
+          -- (compiler.py Option semantics), so NULL actual is no
+          -- violation even when the target is non-NULL
+          WHERE l_returnflag IS NOT NULL
+            AND l_returnflag IS DISTINCT FROM l_linestatus""",
 
         "time_ops": """
           SELECT o_orderkey, 'before_or_equal' AS code FROM orders
@@ -680,6 +768,55 @@ def oracle_sql() -> dict[str, str]:
           WHERE o_orderdate IS NOT NULL
             AND NOT (o_orderdate BETWEEN TIMESTAMP '1996-01-01'
                      AND TIMESTAMP '1996-12-31')""",
+
+        "time_now_ops": """
+          WITH t AS (
+            SELECT o_orderkey,
+                   CAST(o_orderdate AS TIMESTAMP) AS ts1,
+                   CAST(o_orderdate AS TIMESTAMP)
+                     - INTERVAL 2 YEAR AS ts2,
+                   CAST(o_orderdate AS TIMESTAMP)
+                     + INTERVAL ((o_orderkey % 730) - 365) DAY AS anchor
+            FROM orders)
+          SELECT o_orderkey, 'before_now' AS code, '/ts1' AS location
+          FROM t WHERE ts1 IS NOT NULL
+            AND NOT (ts1 <= TIMESTAMP '1995-06-01')
+          UNION ALL
+          SELECT o_orderkey, 'after_now', '/ts2' FROM t
+          WHERE ts2 IS NOT NULL AND NOT (ts2 > TIMESTAMP '1995-06-01')
+          UNION ALL
+          SELECT o_orderkey, 'before_from_now', '/ts1' FROM t
+          WHERE ts1 IS NOT NULL
+            AND NOT (ts1 <= TIMESTAMP '1994-06-01')
+          UNION ALL
+          SELECT o_orderkey, 'after_from_now', '/ts2' FROM t
+          WHERE ts2 IS NOT NULL
+            AND NOT (ts2 >= TIMESTAMP '1996-05-31')
+          UNION ALL
+          SELECT o_orderkey, 'in_period', '/ts1' FROM t
+          WHERE ts1 IS NOT NULL
+            AND NOT (ts1 BETWEEN anchor
+                     AND anchor + INTERVAL 400 DAY)""",
+
+        "missing_column": """
+          SELECT c_custkey, 'required' AS code,
+                 '/loyalty_tier' AS location,
+                 'loyalty_tier' AS field
+          FROM customer""",
+
+        "variant_rules": """
+          SELECT o_orderkey, 'in' AS code, '/kind' AS location
+          FROM orders
+          WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O', 'F')
+          UNION ALL
+          SELECT o_orderkey, 'range', '/o_totalprice' FROM orders
+          WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL
+            AND NOT (o_totalprice >= 0 AND o_totalprice <= 200000)
+          UNION ALL
+          SELECT o_orderkey, 'range', '/o_totalprice' FROM orders
+          WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+            AND NOT (o_totalprice >= 0 AND o_totalprice <= 150000)""",
 
         "email": """
           SELECT c_custkey, 'email' AS code FROM customer
@@ -713,7 +850,7 @@ def oracle_sql() -> dict[str, str]:
 
         "contains": """
           SELECT p_partkey, 'contains' AS code FROM part
-          WHERE p_name IS NOT NULL AND NOT contains(p_name, ' ')""",
+          WHERE p_name IS NOT NULL AND NOT contains(p_name, 'red')""",
 
         "contains_not": """
           SELECT c_custkey, 'contains_not' AS code FROM customer
@@ -774,9 +911,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT o_custkey, count(*) AS dup_count
           FROM orders GROUP BY o_custkey HAVING count(*) > 1""",
 
-        "referential": """
+        "referential": f"""
+          WITH child AS ({_CHILD_ORPHANS_SQL})
           SELECT l_partkey, count(*) AS n_rows
-          FROM lineitem
+          FROM child
           WHERE l_partkey NOT IN (SELECT p_partkey FROM part
                                   WHERE p_partkey IS NOT NULL)
           GROUP BY l_partkey""",
@@ -892,10 +1030,17 @@ def oracle_sql() -> dict[str, str]:
           WITH {shingle_docs2},
           sizes AS (SELECT doc_id, count(*) AS set_size FROM sh
                     GROUP BY doc_id),
+          -- mirror jaccard_pairs(max_df=1000): hot shingles are dropped
+          -- from the inverted-index join, set sizes stay uncapped
+          sh_use AS (
+            SELECT doc_id, shingle FROM sh
+            WHERE shingle NOT IN (
+              SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(*) > 1000)),
           inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    count(*) AS intersection
-            FROM sh a JOIN sh b USING (shingle)
+            FROM sh_use a JOIN sh_use b USING (shingle)
             WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
           SELECT id_a, id_b, intersection,
                  sa.set_size AS size_a, sb.set_size AS size_b,
@@ -917,6 +1062,39 @@ def oracle_sql() -> dict[str, str]:
                  min(md5('2:' || shingle)) AS h2,
                  min(md5('3:' || shingle)) AS h3
           FROM sh GROUP BY doc_id""",
+
+        # exact reproduction of the md5 bit-vote SimHash (dedup.py
+        # _simhash): h = big-endian uint64 of md5(token)[:8]; bit i of h
+        # = bit (i%4) of the hex nibble at 1-based position 16 - i//4
+        "simhash_pairs": rf"""
+          WITH docs2 AS ({_DOCS2_SQL}),
+          toks AS (
+            SELECT doc_id, unnest(list_distinct(list_filter(
+                     regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> ''))) AS tok
+            FROM docs2 WHERE text IS NOT NULL),
+          nibs AS (
+            SELECT doc_id, r.i,
+                   ((strpos('0123456789abcdef',
+                            substr(md5(tok),
+                                   CAST(16 - (r.i // 4) AS INT), 1)) - 1)
+                    >> (r.i % 4)) & 1 AS bit
+            FROM toks,
+                 (SELECT unnest(generate_series(0, 63)) AS i) r),
+          votes AS (
+            SELECT doc_id, i, sum(2 * bit - 1) AS vote FROM nibs
+            GROUP BY doc_id, i),
+          fp AS (
+            SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN
+                     CASE WHEN i = 63 THEN -9223372036854775808
+                          ELSE (CAST(1 AS BIGINT) << i) END
+                     ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                   AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
 
         "token_stats": r"""
           WITH w AS (

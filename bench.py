@@ -61,16 +61,59 @@ def _turns_parquet(spark, n_rows: int) -> str:
     return path
 
 
-def _validated_turns_per_sec(spark, n_rows: int) -> tuple[float, int]:
+def _read_proc_stat() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — the sandbox is a
+    shared VM; steal% per pass is recorded as evidence when a pass is
+    hit by a host stall (observed: identical passes range 3-74 s)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:9]]
+        return vals[7], sum(vals)
+    except Exception:  # noqa: BLE001
+        return 0, 1
+
+
+def _turns_engine():
+    """ONE engine for every throughput pass: a fresh engine per pass
+    would pin a fresh run_ts literal into the plan → new codegen class
+    → Janino + C2 JIT compilation paid on every single pass."""
+    import datetime as dt
+
+    from validify_spark.data import standard_turns_ruleset
+    from validify_spark.engine import ValidationEngine
+    return ValidationEngine(standard_turns_ruleset(),
+                            key_cols=["conv_id", "turn_idx"],
+                            run_ts=dt.datetime(2026, 1, 1))
+
+
+def _tput_passes(spark, eng, n_rows: int, passes: int) -> list[dict]:
+    """Run the 3M-row validation job ``passes`` times; per pass record
+    wall seconds + host steal%. The generated code is identical across
+    passes (same engine), so after JIT warm-up the spread is the host,
+    not the plan."""
+    turns = spark.read.parquet(_turns_parquet(spark, n_rows))
+    out = []
+    for _ in range(passes):
+        s0, t0j = _read_proc_stat()
+        t0 = time.perf_counter()
+        n_viol = eng.violations(turns).count()
+        dt = time.perf_counter() - t0
+        s1, t1j = _read_proc_stat()
+        steal = round(100.0 * (s1 - s0) / max(t1j - t0j, 1), 1)
+        out.append({"sec": round(dt, 3),
+                    "turns_per_sec": round(n_rows / dt),
+                    "steal_pct": steal, "violations": n_viol})
+    return out
+
+
+def _validated_turns_per_sec(spark, n_rows: int,
+                             eng=None) -> tuple[float, int]:
     """Throughput of the core job: full standard-ruleset validation of
     an n_rows transcript parquet table (violations counted → every rule
     evaluated on every row)."""
-    from validify_spark.data import standard_turns_ruleset
-    from validify_spark.engine import ValidationEngine
-
+    eng = eng or _turns_engine()
     turns = spark.read.parquet(_turns_parquet(spark, n_rows))
-    eng = ValidationEngine(standard_turns_ruleset(),
-                           key_cols=["conv_id", "turn_idx"])
     t0 = time.perf_counter()
     n_viol = eng.violations(turns).count()
     dt = time.perf_counter() - t0
@@ -95,15 +138,29 @@ def run_bench() -> dict:
         fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    _validated_turns_per_sec(spark, TURNS_BENCH_ROWS)  # JIT warm-up
-    tput = 0.0
-    for _ in range(2):  # best-of-2: sandbox VM has transient slowdowns
-        t0 = time.perf_counter()
-        t, _ = _validated_turns_per_sec(spark, TURNS_BENCH_ROWS)
-        if t > tput:
-            tput = t
-            timings["gen_turns_validate_3m"] = round(
-                time.perf_counter() - t0, 3)
+    # Throughput job: ONE engine (stable codegen source; the phase
+    # barrier keeps the hot scan stage small enough that C2 lands
+    # within the 2 warm-up passes), then steal-aware measurement: the
+    # sandbox VM's co-tenants steal 2-9% CPU in waves and those waves
+    # cut throughput up to 7x (recorded per pass as steal_pct), so we
+    # sample until 3 passes land in a clean window (steal <= 0.5%) and
+    # report the median of the clean passes — plus every raw pass so
+    # the steal/slowdown correlation is auditable.
+    eng = _turns_engine()
+    warm = _tput_passes(spark, eng, TURNS_BENCH_ROWS, 2)
+    measured, clean = [], []
+    for _ in range(12):
+        p = _tput_passes(spark, eng, TURNS_BENCH_ROWS, 1)[0]
+        measured.append(p)
+        if p["steal_pct"] <= 0.5:
+            clean.append(p)
+        if len(clean) >= 3 and len(measured) >= 4:
+            break
+    basis = clean if len(clean) >= 2 else measured
+    secs = sorted(p["sec"] for p in basis)
+    median_sec = secs[len(secs) // 2]
+    best_sec = min(p["sec"] for p in measured + warm)
+    timings["gen_turns_validate_3m"] = median_sec
 
     spark.stop()
     total = round(sum(timings.values()), 3)
@@ -114,7 +171,11 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(SF_DIR),
-        "turns_per_sec": round(tput),
+        "turns_per_sec": round(TURNS_BENCH_ROWS / median_sec),
+        "turns_per_sec_best": round(TURNS_BENCH_ROWS / best_sec),
+        "tput_clean_passes": len(clean),
+        "tput_warmup": warm,
+        "tput_passes": measured,
         "cpus": CPUS,
     }
 
@@ -125,21 +186,33 @@ def run_throughput_only(n_rows: int) -> None:
     spark = get_spark(f"tput-{CPUS}", cpus=CPUS,
                       shuffle_partitions=max(CPUS, 8))
     # warm-up at full size: the fused-ruleset codegen method is large,
-    # so the first execution pays Janino + C2 JIT compilation measured
+    # so the first executions pay Janino + C2 JIT compilation measured
     # in tens of seconds — classic hot-loop warmup, amortized to noise
     # on any long-running job. The sandbox VM also shows transient
-    # multi-minute slowdowns (shared host), so measure 4 passes and
-    # report the best — the steady-state capability of the plan.
-    _validated_turns_per_sec(spark, n_rows)
-    n_viol = None
-    tput = 0.0
-    for _ in range(4):
-        t, n_viol = _validated_turns_per_sec(spark, n_rows)
-        tput = max(tput, t)
+    # multi-ten-second co-tenant stalls (shared host; recorded as
+    # steal_pct per pass), so measure 5 passes and report best AND
+    # median — best is the steady-state capability of the plan.
+    eng = _turns_engine()
+    _tput_passes(spark, eng, n_rows, 2)
+    passes, clean = [], []
+    for _ in range(10):
+        p = _tput_passes(spark, eng, n_rows, 1)[0]
+        passes.append(p)
+        if p["steal_pct"] <= 0.5:
+            clean.append(p)
+        if len(clean) >= 3 and len(passes) >= 3:
+            break
     spark.stop()
-    print(json.dumps({"cpus": CPUS, "rows": n_rows,
-                      "turns_per_sec": round(tput),
-                      "violations": n_viol}))
+    basis = clean if len(clean) >= 2 else passes
+    secs = sorted(p["sec"] for p in basis)
+    print(json.dumps({
+        "cpus": CPUS, "rows": n_rows,
+        "turns_per_sec": round(n_rows / secs[len(secs) // 2]),
+        "turns_per_sec_best": round(
+            n_rows / min(p["sec"] for p in passes)),
+        "clean_passes": len(clean),
+        "passes": passes,
+        "violations": passes[-1]["violations"]}))
 
 
 def run_scaling(n_rows: int = 6_000_000) -> dict:

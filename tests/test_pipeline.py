@@ -165,3 +165,50 @@ def test_frame_sample_plan(spark):
     frames = [r["frame_ms"] for r in
               frame_sample_plan(df, every_ms=1000).collect()]
     assert frames == [0, 1000, 2000, 3000]
+
+
+def test_short_docs_no_shingle_crash(spark):
+    # docs with fewer than n whitespace tokens must yield zero shingles,
+    # not a sequence(1,0)/slice(0) SparkRuntimeException (ADVICE r1)
+    from validify_spark.pipeline.dedup import (
+        jaccard_pairs, minhash_signatures, word_shingles)
+    from validify_spark.pipeline.text import fingerprint
+    d = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, None), (4, "a b c d")],
+        "doc_id int, text string")
+    assert word_shingles(d, n=3).count() == 2  # only doc 4
+    sigs = {r["doc_id"]: r["h0"] for r in
+            minhash_signatures(d, n=3, num_perm=1).collect()}
+    # shingle-less docs produce no signature row (matches the SQL
+    # oracle: GROUP BY over zero shingle rows)
+    assert set(sigs) == {4} and sigs[4] is not None
+    assert jaccard_pairs(d, n=3, threshold=0.1).count() == 0
+    fps = {r["doc_id"]: r["shingle_fingerprint"]
+           for r in fingerprint(d, n=3).collect()}
+    assert fps[1] is None and fps[4] is not None
+
+
+def test_ann_recall_harness(spark):
+    # ann_recall_at_k measures recall of the LSH path against the exact
+    # baseline; on the real embeddings table with suitably scaled
+    # planes, recall@5 must be >= 0.9 (VERDICT r1 #9)
+    import os
+    from validify_spark.pipeline import ann_recall_at_k, n_planes_for
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n = emb.count()
+    queries = (emb.filter("vec_id < 5")
+               .selectExpr("vec_id AS query_id", "embedding"))
+    rows = ann_recall_at_k(
+        emb, queries, k=5, dim=64,
+        n_planes=n_planes_for(n, target_bucket=64),
+        n_tables=8).collect()
+    mean_recall = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert mean_recall >= 0.9, f"recall {mean_recall} < 0.9"
+
+
+def test_n_planes_for_scaling():
+    from validify_spark.pipeline import n_planes_for
+    assert n_planes_for(100, 256) == 1
+    assert n_planes_for(1 << 20, 256) == 12
+    assert n_planes_for(10 ** 9, 256) == 22

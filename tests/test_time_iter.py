@@ -125,3 +125,32 @@ def test_iter_struct_subfield(spark):
             [iter_("prefs", inner)])
     assert len(v) == 1
     assert v[0]["location"] == "/prefs/1/name"
+
+
+def test_now_ops_inclusive(spark):
+    # reference time.rs:3-11: eq=true compiles <= / >= against now;
+    # rows timestamped exactly at run_ts pass when inclusive
+    rows = [(1, RUN_TS), (2, ts("2024-06-15T13:00:00"))]
+    v = run(spark, rows, "id int, t timestamp",
+            [time("t", op="before_now")])
+    assert sorted(r["id"] for r in v) == [1, 2]  # strict: eq fails
+    v = run(spark, rows, "id int, t timestamp",
+            [time("t", op="before_now", inclusive=True)])
+    assert sorted(r["id"] for r in v) == [2]
+    v = run(spark, rows, "id int, t timestamp",
+            [time("t", op="after_now", inclusive=True)])
+    assert sorted(r["id"] for r in v) == []
+
+
+def test_in_period_target_column(spark):
+    # dynamic in_period: window [anchor, anchor + 1h] per row
+    rows = [(1, ts("2024-01-01T00:30:00"), ts("2024-01-01T00:00:00")),
+            (2, ts("2024-01-01T02:00:00"), ts("2024-01-01T00:00:00")),
+            (3, ts("2023-12-31T23:30:00"), ts("2024-01-01T00:00:00"))]
+    v = run(spark, rows, "id int, t timestamp, anchor timestamp",
+            [time("t", op="in_period", target_column="anchor", hours=1)])
+    assert sorted(r["id"] for r in v) == [2, 3]
+    # negative duration: window [anchor - 1h, anchor]
+    v = run(spark, rows, "id int, t timestamp, anchor timestamp",
+            [time("t", op="in_period", target_column="anchor", hours=-1)])
+    assert sorted(r["id"] for r in v) == [1, 2]

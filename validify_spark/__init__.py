@@ -43,6 +43,8 @@ from .rules import (
     trim,
     uppercase,
     url,
+    variant_modifiers,
+    variant_rules,
 )
 from .session import get_spark
 
@@ -55,6 +57,6 @@ __all__ = [
     "non_control_char", "required", "regex", "contains", "contains_not",
     "is_in", "not_in", "must_match", "custom", "time", "iter_",
     "map_values_",
-    "schema_rule", "trim", "lowercase", "uppercase", "capitalize",
-    "custom_modifier",
+    "schema_rule", "variant_rules", "variant_modifiers", "trim",
+    "lowercase", "uppercase", "capitalize", "custom_modifier",
 ]

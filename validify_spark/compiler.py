@@ -14,6 +14,7 @@ on NULL — compiled as ``c.isNull() | pred``.
 from __future__ import annotations
 
 import datetime as _dt
+from dataclasses import replace
 from typing import Optional
 
 from pyspark.sql import Column, functions as F, types as T
@@ -174,16 +175,18 @@ def ok_and_params(rule: Rule, c: Column, dtype: Optional[T.DataType],
             "actual": c}
 
     if kind == "url":
-        return U.url_ok(c), {"actual": c}
+        # two-tier: regex fast path in codegen, WHATWG-parse UDF fed
+        # NULL for decided rows (sql_builders.url_ok)
+        return V.url_ok(c), {"actual": c}
 
     if kind == "ip":
         fmt = p.get("format")
         if fmt == "v4":
             ok = V.ipv4_ok(c)
         elif fmt == "v6":
-            ok = U.ipv6_ok(c)
+            ok = V.ipv6_ok_gated(c)
         else:
-            ok = V.ipv4_ok(c) | U.ipv6_ok(c)
+            ok = V.ip_any_ok(c)
         return ok, {"actual": c}
 
     if kind == "phone":
@@ -232,9 +235,12 @@ def _time_ok(rule: Rule, c: Column, run_ts: _dt.datetime):
         ok = (c >= tlit) if inclusive else (c > tlit)
         return ok, {"actual": c, "target": tstr}
     if op == "before_now":
-        return c < F.lit(run_ts), {"actual": c, "target": F.lit(run_ts)}
+        # eq flag supported like before/after (time.rs:3-11)
+        ok = (c <= F.lit(run_ts)) if inclusive else (c < F.lit(run_ts))
+        return ok, {"actual": c, "target": F.lit(run_ts)}
     if op == "after_now":
-        return c > F.lit(run_ts), {"actual": c, "target": F.lit(run_ts)}
+        ok = (c >= F.lit(run_ts)) if inclusive else (c > F.lit(run_ts))
+        return ok, {"actual": c, "target": F.lit(run_ts)}
     if op == "before_from_now":
         # now - actual >= duration  ⇔  actual <= now - duration (time.rs:39-44)
         bound = run_ts - dur
@@ -244,8 +250,24 @@ def _time_ok(rule: Rule, c: Column, run_ts: _dt.datetime):
         bound = run_ts + dur
         return c >= F.lit(bound), {"actual": c, "target": F.lit(bound)}
     if op == "in_period":
+        if p.get("target_column"):
+            # dynamic target: bounds as Column arithmetic with an
+            # interval literal (the duration is still compile-time)
+            tcol = F.col(p["target_column"])
+            shifted = tcol + F.make_dt_interval(
+                secs=F.lit(float(dur.total_seconds())))
+            lo_c, hi_c = ((tcol, shifted) if dur >= _dt.timedelta(0)
+                          else (shifted, tcol))
+            return c.between(lo_c, hi_c), {
+                "actual": c, "from": lo_c, "to": hi_c}
         t = _coerce_target(p)
-        lo, hi = (t, t + dur) if dur >= _dt.timedelta(0) else (t + dur, t)
+        try:
+            lo, hi = ((t, t + dur) if dur >= _dt.timedelta(0)
+                      else (t + dur, t))
+        except OverflowError:
+            # reference semantics: bound overflow ⇒ check is false
+            # (time.rs:63-70 checked_add returning None fails the rule)
+            return F.lit(False), {"actual": c, "target": F.lit(str(t))}
         return c.between(F.lit(lo), F.lit(hi)), {
             "actual": c, "from": F.lit(lo), "to": F.lit(hi)}
     raise ValueError(f"unknown time op {op}")
@@ -254,6 +276,16 @@ def _time_ok(rule: Rule, c: Column, run_ts: _dt.datetime):
 # ---------------------------------------------------------------------------
 # rule → array<violation> Column
 # ---------------------------------------------------------------------------
+
+
+def _gate_expr(rule: Rule) -> Optional[Column]:
+    """Optional row-level applicability gate (enum-variant analog,
+    derive_tests/tests/enum.rs: per-variant fields validate only when
+    the row IS that variant). NULL/false gate ⇒ rule doesn't apply."""
+    gate = rule.params.get("_gate")
+    if gate is None:
+        return None
+    return F.expr(gate) if isinstance(gate, str) else gate
 
 
 def pass_expr(rule: Rule, schema: T.StructType,
@@ -268,6 +300,12 @@ def pass_expr(rule: Rule, schema: T.StructType,
     expression → whole-stage codegen) and builds the expensive
     violation structs only for the failing minority.
     """
+    g = _gate_expr(rule)
+    if g is not None:
+        ungated = replace(rule, params={
+            k: v for k, v in rule.params.items() if k != "_gate"})
+        return F.when(g, pass_expr(ungated, schema, run_ts, df)) \
+                .otherwise(F.lit(True))
     if rule.kind == "schema":
         pred = rule.params["predicate"]
         return F.expr(pred) if isinstance(pred, str) else pred(df)
@@ -289,6 +327,13 @@ def compile_rule(rule: Rule, schema: T.StructType,
     (empty array ⇔ pass)."""
     if rule.kind == "schema":
         raise ValueError("schema rules are compiled by the engine")
+
+    g = _gate_expr(rule)
+    if g is not None:
+        ungated = replace(rule, params={
+            k: v for k, v in rule.params.items() if k != "_gate"})
+        return F.when(g, compile_rule(ungated, schema, run_ts)) \
+                .otherwise(empty_violations())
 
     if rule.kind == "iter":
         return _compile_iter(rule, schema, run_ts)
@@ -419,6 +464,32 @@ def _compile_map_values(rule: Rule, schema: T.StructType,
     viols = F.filter(F.transform(F.map_entries(col), per_entry),
                      lambda v: v.isNotNull())
     return F.when(col.isNull(), empty_violations()).otherwise(viols)
+
+
+def rule_input_columns(rule: Rule) -> list:
+    """Dotted column paths a rule reads — used by the engine's payload
+    column-existence pre-check (validate_from semantics: a rule naming
+    an absent column reports `required` instead of failing analysis,
+    validify_derive/src/payload.rs:123-135)."""
+    cols = []
+    if rule.kind != "schema" and rule.column:
+        cols.append(rule.column)
+    if rule.kind == "must_match":
+        cols.append(rule.params["other"])
+    if rule.kind == "time" and rule.params.get("target_column"):
+        cols.append(rule.params["target_column"])
+    return cols
+
+
+def compile_missing_column(rule: Rule, col: str) -> Column:
+    """Constant violation for a rule whose input column is absent from
+    the DataFrame schema: code `required` at the missing field's
+    location, emitted for every row (derive_tests/tests/payload.rs:14-22
+    — missing payload fields report `required`)."""
+    viol = make_violation(
+        rule.rule_id, col.split(".")[-1], "/" + col.replace(".", "/"),
+        "required", rule.message, {})
+    return F.array(viol).cast(VIOLATION_ARRAY_DDL)
 
 
 def compile_schema_rule(rule: Rule, df) -> Column:

@@ -69,6 +69,16 @@ class ValidationEngine:
     def normalize(self, df: DataFrame) -> DataFrame:
         return apply_modifiers(df, self.ruleset.modifiers)
 
+    # -- payload column-existence (validate_from semantics, §2.4) ----------
+    @staticmethod
+    def _missing_inputs(rule: Rule, schema) -> list:
+        """Input columns of ``rule`` absent from ``schema``. Non-empty ⇒
+        the rule can't run; it emits a constant `required` violation per
+        row instead of throwing AnalysisException
+        (derive_tests/tests/payload.rs:14-22)."""
+        return [c for c in C.rule_input_columns(rule)
+                if C.resolve_type(schema, c) is None]
+
     # -- violations --------------------------------------------------------
     def _pass_all(self, df: DataFrame):
         """Phase-1 predicate: True ⇔ row has NO violation. Compact
@@ -79,6 +89,12 @@ class ValidationEngine:
         schema = df.schema
 
         def p(rule):
+            if self._missing_inputs(rule, schema):
+                # missing column ⇒ every (gate-matching) row fails
+                g = C._gate_expr(rule)
+                if g is not None:
+                    return F.when(g, F.lit(False)).otherwise(F.lit(True))
+                return F.lit(False)
             return F.coalesce(
                 C.pass_expr(rule, schema, self.run_ts, df), F.lit(False))
 
@@ -108,8 +124,17 @@ class ValidationEngine:
         schema_rules = [r for r in self.ruleset.main_rules
                         if r.kind == "schema"]
 
-        presence_arrays = [C.compile_rule(r, schema, self.run_ts)
-                           for r in presence]
+        def compile_or_missing(r):
+            miss = self._missing_inputs(r, schema)
+            if miss:
+                arr = C.compile_missing_column(r, miss[0])
+                g = C._gate_expr(r)
+                if g is not None:
+                    arr = F.when(g, arr).otherwise(C.empty_violations())
+                return arr
+            return C.compile_rule(r, schema, self.run_ts)
+
+        presence_arrays = [compile_or_missing(r) for r in presence]
         if presence_arrays:
             presence_ok = F.size(F.flatten(F.array(*presence_arrays))) == 0
         else:
@@ -117,7 +142,7 @@ class ValidationEngine:
 
         arrays = list(presence_arrays)
         for r in main:
-            arr = C.compile_rule(r, schema, self.run_ts)
+            arr = compile_or_missing(r)
             if presence:
                 # presence failure suppresses later-stage rules for the row
                 arr = F.when(presence_ok, arr).otherwise(
@@ -137,21 +162,38 @@ class ValidationEngine:
         return F.flatten(F.array(*arrays))
 
     def violations(self, df: DataFrame,
-                   pre_normalized: bool = False) -> DataFrame:
+                   pre_normalized: bool = False,
+                   extra_cols: Sequence[str] = (),
+                   barrier: bool = True) -> DataFrame:
         src = df if pre_normalized else self.normalize(df)
+        carry = list(self.key_cols) + list(extra_cols)
         # two-phase: cheap boolean scan over everything, expensive
         # violation-struct construction only on the failing minority.
-        # (For large rulesets the phase-2 projection can exceed Janino's
-        # 64 KB codegen method limit and run interpreted — acceptable by
-        # design because it sees only failing rows; phase 1, which scans
-        # the full table, always stays within codegen.)
+        # ``barrier`` inserts a shuffle between the phases so they land
+        # in SEPARATE whole-stage-codegen units. Without it they fuse
+        # into one giant processNext(): C2 takes minutes to compile it
+        # and recurring deopts in the rarely-taken phase-2 branches
+        # throw the ENTIRE hot scan loop back to C1/interpreter —
+        # measured 10x throughput swings between identical passes
+        # (70k vs 800k turns/s). With the barrier the full-scan stage
+        # is a compact conjunction that JITs in seconds and stays
+        # compiled; the shuffle moves only failing rows (violation
+        # minority), which is also the natural partitioning for
+        # writing the violations table.
         failing = src.filter(~self._pass_all(src))
+        if barrier:
+            if self.key_cols:
+                failing = failing.repartition(
+                    *[F.col(k) for k in self.key_cols])
+            else:
+                failing = failing.repartition(
+                    df.sparkSession.sparkContext.defaultParallelism)
         viol = self._violations_array(failing)
         out = (failing
-               .select(*self.key_cols, viol.alias("_v"))
+               .select(*carry, viol.alias("_v"))
                .filter(F.size("_v") > 0)
-               .select(*self.key_cols, F.explode("_v").alias("v"))
-               .select(*self.key_cols, "v.*"))
+               .select(*carry, F.explode("_v").alias("v"))
+               .select(*carry, "v.*"))
         if self.dedup:
             # ValidationErrors::merge dedup semantics (error.rs:222-231)
             out = (out

@@ -66,10 +66,16 @@ def _scalar_expr(kind: str, c: Column, fn=None) -> Column:
 def modifier_expr(m: Modifier, c: Column,
                   dtype: T.DataType | None) -> Column:
     """String modifiers map over elements of array columns
-    (fields.rs:456-481; golden validify.rs:15-32)."""
+    (fields.rs:456-481; golden validify.rs:15-32). A gated modifier
+    (enum-variant analog) leaves non-matching rows untouched."""
     if isinstance(dtype, T.ArrayType):
-        return F.transform(c, lambda x: _scalar_expr(m.kind, x, m.fn))
-    return _scalar_expr(m.kind, c, m.fn)
+        out = F.transform(c, lambda x: _scalar_expr(m.kind, x, m.fn))
+    else:
+        out = _scalar_expr(m.kind, c, m.fn)
+    gate = getattr(m, "gate", None)
+    if gate is not None:
+        out = F.when(F.expr(gate), out).otherwise(c)
+    return out
 
 
 def _rebuild(expr: Column, dtype: T.DataType, parts: list,
@@ -103,9 +109,26 @@ def apply_modifiers(df: DataFrame, modifiers: list) -> DataFrame:
     ('           hELLO world    ' → trim,lowercase,capitalize →
     'Hello world'). Dotted paths descend structs and arrays of structs
     ('languages.language' maps over every array element)."""
+    def _path_exists(dtype, parts) -> bool:
+        # mirrors _rebuild's descent (structs AND arrays of structs)
+        if not parts:
+            return True
+        if isinstance(dtype, T.ArrayType) and \
+                isinstance(dtype.elementType, T.StructType):
+            dtype = dtype.elementType
+        if isinstance(dtype, T.StructType) and \
+                parts[0] in dtype.fieldNames():
+            return _path_exists(dtype[parts[0]].dataType, parts[1:])
+        return False
+
     for m in modifiers:
         parts = m.column.split(".")
         root = parts[0]
+        # payload semantics: a modifier naming an absent column is a
+        # no-op (the matching rule reports `required` instead)
+        if root not in df.schema.fieldNames() or not _path_exists(
+                df.schema[root].dataType, parts[1:]):
+            continue
         root_type = df.schema[root].dataType
 
         def leaf(expr, dtype, _m=m):

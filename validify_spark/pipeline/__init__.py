@@ -15,12 +15,14 @@ from .dedup import (
     simhash_pairs,
     word_shingles,
 )
-from .similarity import cosine_self_pairs, cosine_topk, lsh_ann_topk
+from .similarity import (ann_recall_at_k, cosine_self_pairs, cosine_topk,
+                         lsh_ann_topk, n_planes_for)
 from .text import fingerprint, lang_id, quality_score, token_stats
 
 __all__ = [
     "exact_duplicates", "word_shingles", "jaccard_pairs",
     "minhash_signatures", "minhash_lsh_pairs", "simhash_fingerprints",
     "simhash_pairs", "cosine_topk", "cosine_self_pairs", "lsh_ann_topk",
+    "ann_recall_at_k", "n_planes_for",
     "token_stats", "quality_score", "lang_id", "fingerprint",
 ]

@@ -61,10 +61,15 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id",
     """Distinct word n-gram shingles per doc: (id, shingle). Built with
     higher-order functions (no UDF): words → sliding join of n words."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    shingles = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, and
+    # slice(words, 0, n) throws — docs with < n tokens get no shingles
+    # (matches generate_series(1,0) = empty in the SQL oracle)
+    shingles = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
     return (df
             .select(F.col(id_col), F.explode(
                 F.array_distinct(shingles)).alias("shingle")))
@@ -82,45 +87,48 @@ def _doc_sizes(sh: DataFrame, id_col: str) -> DataFrame:
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
                   threshold: float = 0.7,
-                  max_df: Optional[int] = None) -> DataFrame:
+                  max_df: Optional[int] = 1000) -> DataFrame:
     """All doc pairs with shingle-set Jaccard ≥ threshold.
 
     Output: id_a, id_b (id_a < id_b), intersection, size_a, size_b,
     jaccard. ``max_df`` drops shingles present in more than max_df docs
-    (bounds the candidate blowup at corpus scale)."""
-    sh = word_shingles(df, id_col, text_col, n).persist()
-    try:
-        sizes = _doc_sizes(sh, id_col)
-        if max_df is not None:
-            hot = (sh.groupBy("shingle")
-                     .agg(F.count(F.lit(1)).alias("df"))
-                     .filter(F.col("df") > max_df)
-                     .select("shingle"))
-            sh_use = sh.join(F.broadcast(hot), "shingle", "left_anti")
-        else:
-            sh_use = sh
-        a = sh_use.select(F.col(id_col).alias("id_a"), "shingle")
-        b = sh_use.select(F.col(id_col).alias("id_b"), "shingle")
-        inter = (a.join(b, "shingle")
-                  .filter(F.col("id_a") < F.col("id_b"))
-                  .groupBy("id_a", "id_b")
-                  .agg(F.count(F.lit(1)).alias("intersection")))
-        sa = sizes.select(F.col(id_col).alias("id_a"),
-                          F.col("set_size").alias("size_a"))
-        sb = sizes.select(F.col(id_col).alias("id_b"),
-                          F.col("set_size").alias("size_b"))
-        out = (inter.join(sa, "id_a").join(sb, "id_b")
-               .withColumn("jaccard", F.round(
-                   F.col("intersection")
-                   / (F.col("size_a") + F.col("size_b")
-                      - F.col("intersection")), 6))
-               .filter(F.col("jaccard") >= threshold)
-               .select("id_a", "id_b", "intersection", "size_a",
-                       "size_b", "jaccard"))
-        return out
-    finally:
-        # note: persist is released lazily; callers materialize promptly
-        pass
+    (bounds the d² candidate blowup of hot shingles at corpus scale; the
+    default 1000 caps any shingle's pair contribution at ~500k while
+    leaving real near-dup evidence intact — docs sharing ONLY ubiquitous
+    shingles aren't near-dups). Pass ``max_df=None`` for exact behavior.
+
+    No persist: the exploded shingle relation is O(tokens) — far larger
+    than the input at 100 TB — so we recompute the (cheap, narrow)
+    shingle expression per consumer and keep the whole plan streaming
+    instead of pinning it in executor memory."""
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = _doc_sizes(sh, id_col)
+    if max_df is not None:
+        hot = (sh.groupBy("shingle")
+                 .agg(F.count(F.lit(1)).alias("df"))
+                 .filter(F.col("df") > max_df)
+                 .select("shingle"))
+        sh_use = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        sh_use = sh
+    a = sh_use.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh_use.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("intersection")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("set_size").alias("size_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("intersection")
+                / (F.col("size_a") + F.col("size_b")
+                   - F.col("intersection")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "intersection", "size_a",
+                    "size_b", "jaccard"))
 
 
 # ---------------------------------------------------------------------------

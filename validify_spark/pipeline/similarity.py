@@ -113,6 +113,44 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .withColumn("cosine", F.round("cosine", 6)))
 
 
+def n_planes_for(corpus_size: int, target_bucket: int = 256) -> int:
+    """Plane count so the EXPECTED bucket size is ~target_bucket:
+    2^n_planes buckets over corpus_size rows. At 10^9 vectors and
+    target 256, that's 22 planes — the fixed default of 6-8 planes
+    only suits ~10^4-10^5 corpora; planes must scale with the corpus
+    or buckets blow up quadratically in the candidate join."""
+    import math
+    if corpus_size <= target_bucket:
+        return 1
+    return max(1, math.ceil(math.log2(corpus_size / target_bucket)))
+
+
+def ann_recall_at_k(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id",
+                    **lsh_kwargs) -> DataFrame:
+    """Measured recall@k of lsh_ann_topk against the exact cosine_topk
+    baseline, per query. LSH planes are seed-deterministic, so this is
+    a reproducible quality metric, not a point sample.
+
+    Output: <query_id_col>, n_exact, n_hits, recall_at_k."""
+    exact = cosine_topk(corpus, queries, k, id_col, vec_col,
+                        query_id_col).select(query_id_col, id_col)
+    approx = lsh_ann_topk(corpus, queries, k, id_col, vec_col,
+                          query_id_col, **lsh_kwargs) \
+        .select(query_id_col, id_col)
+    hits = (exact.join(approx, [query_id_col, id_col])
+            .groupBy(query_id_col).agg(F.count("*").alias("n_hits")))
+    return (exact.groupBy(query_id_col)
+            .agg(F.count("*").alias("n_exact"))
+            .join(hits, query_id_col, "left")
+            .select(F.col(query_id_col),
+                    F.col("n_exact"),
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0))
+                            / F.col("n_exact"), 6).alias("recall_at_k")))
+
+
 def cosine_self_pairs(corpus: DataFrame, threshold: float = 0.95,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       dim: int = 64, n_planes: int = 10,

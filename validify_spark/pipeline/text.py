@@ -136,10 +136,15 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
     Output: id, content_hash, shingle_fingerprint."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     words = _words(F.col(text_col))
-    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    shingles = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))))
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, and
+    # slice(words, 0, n) throws — docs with < n tokens get a NULL
+    # shingle fingerprint (generate_series(1,0) = empty in the oracle)
+    shingles = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))))
+    ).otherwise(F.array().cast("array<string>"))
     return df.select(
         F.col(id_col),
         F.md5(norm).alias("content_hash"),

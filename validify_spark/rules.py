@@ -151,11 +151,17 @@ class Rule:
 @dataclass(frozen=True)
 class Modifier:
     """A column transformation applied before validation, in declaration
-    order (validify/impl.rs:40-56; modify.rs:89-126 golden chain)."""
+    order (validify/impl.rs:40-56; modify.rs:89-126 golden chain).
+
+    ``gate``: optional SQL predicate — the modifier applies only to rows
+    where it's true (enum-variant modifiers, derive_tests/tests/
+    enum_validify.rs: each variant's #[modify] runs only for rows OF
+    that variant)."""
 
     kind: str
     column: str
     fn: Optional[Callable] = None  # for kind == "custom": Column -> Column
+    gate: Optional[str] = None
 
 
 # ---------------------------------------------------------------------------
@@ -265,6 +271,49 @@ def map_values_(column: str, inner: Rule, **kw: Any) -> Rule:
     """Apply ``inner`` to each VALUE of map column ``column``; violation
     locations carry the map key (error.rs:117-158)."""
     return _mk("map_values", column, {"inner": inner}, **kw)
+
+
+def _sql_literal(v: Any) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise RuleSpecError(f"variant tag value {v!r} not SQL-literal-able")
+
+
+def variant_rules(tag_column: str, cases: dict,
+                  known_only: bool = False) -> list:
+    """Enum-variant analog (reference: per-variant field validation,
+    validify_derive/src/validate/impl.rs:40-98,
+    derive_tests/tests/enum.rs): rules for a variant apply only to rows
+    whose ``tag_column`` equals that variant's tag. Rows of other
+    variants (or NULL tag) pass those rules vacuously.
+
+    ``cases``: {tag_value: [Rule, ...]}. Returns a flat rule list to
+    splice into a RuleSet. With ``known_only=True`` an ``is_in`` rule on
+    the tag column is prepended (unknown variants violate)."""
+    out = []
+    if known_only:
+        out.append(is_in(tag_column, list(cases.keys())))
+    for value, rules in cases.items():
+        gate = f"`{tag_column}` = {_sql_literal(value)}"
+        for r in rules:
+            out.append(replace(r, params={**r.params, "_gate": gate}))
+    return out
+
+
+def variant_modifiers(tag_column: str, cases: dict) -> list:
+    """Per-variant modifiers (derive_tests/tests/enum_validify.rs): each
+    variant's modifiers transform only rows whose ``tag_column`` equals
+    that variant's tag. ``cases``: {tag_value: [Modifier, ...]}."""
+    out = []
+    for value, mods in cases.items():
+        gate = f"`{tag_column}` = {_sql_literal(value)}"
+        for m in mods:
+            out.append(replace(m, gate=gate))
+    return out
 
 
 def schema_rule(predicate: Any, code: str = "schema",

@@ -134,10 +134,44 @@ URL_FAST_RE = (
     r"^(?i)[a-z][a-z0-9+.-]*://"            # scheme://
     r"([^\s/@:]+(:[^\s/@]*)?@)?"            # userinfo@
     r"([a-z0-9._~%-]+|\[[0-9a-f:.]+\])"     # host or [ipv6]
-    r"(:[0-9]+)?"                           # :port
+    r"(:[0-9]{1,4})?"                       # :port (0-9999 always valid;
+                                            #  5-digit ports → UDF tier)
     r"([/?#][^\s]*)?\z"                     # path/query/fragment
 )
+
+URL_SCHEME_RE = r"^(?i)[a-z][a-z0-9+.-]*:"
 
 
 def url_ok_fast(c: Column) -> Column:
     return c.rlike(URL_FAST_RE)
+
+
+def url_ok(c: Column) -> Column:
+    """Two-tier URL check: the fast regex decides the common
+    scheme://host form in codegen; everything else that at least has a
+    scheme prefix (opaque-path schemes like mailto:, 5-digit ports,
+    odd hosts) goes to the WHATWG-parse UDF — which is fed NULL for
+    rows already decided, mirroring email_ok's gating."""
+    from . import udf_tier as U
+    fast = url_ok_fast(c)
+    undecided = c.rlike(URL_SCHEME_RE) & ~F.coalesce(fast, F.lit(False))
+    slow_input = F.when(undecided, c)
+    return fast | F.coalesce(U.url_slow_ok(slow_input), F.lit(False))
+
+
+def ip_any_ok(c: Column) -> Column:
+    """Two-tier ip (any format): v4 decided by regex in codegen; only
+    colon-containing non-v4 strings (the only possible v6s) reach the
+    UDF, fed NULL otherwise."""
+    from . import udf_tier as U
+    v4 = ipv4_ok(c)
+    maybe_v6 = c.contains(":") & ~F.coalesce(v4, F.lit(False))
+    return v4 | F.coalesce(U.ipv6_ok(F.when(maybe_v6, c)), F.lit(False))
+
+
+def ipv6_ok_gated(c: Column) -> Column:
+    """v6-only check with a codegen pre-gate: strings without ':' are
+    never valid IPv6, so the UDF sees NULL for them."""
+    from . import udf_tier as U
+    return F.coalesce(
+        U.ipv6_ok(F.when(c.contains(":"), c)), F.lit(False))

@@ -39,6 +39,10 @@ def _apply_bool(s: pd.Series, fn) -> pd.Series:
 
 
 def _is_ipv6(v: str) -> bool:
+    # Python 3.9+ ipaddress accepts zone-scoped 'fe80::1%eth0';
+    # Rust std::net::Ipv6Addr::from_str (ip.rs) rejects zones
+    if "%" in v:
+        return False
     try:
         ipaddress.IPv6Address(v)
         return True
@@ -47,6 +51,8 @@ def _is_ipv6(v: str) -> bool:
 
 
 def _is_ip_any(v: str) -> bool:
+    if "%" in v:
+        return False
     try:
         ipaddress.ip_address(v)
         return True
@@ -111,6 +117,12 @@ def _url_udf(s: pd.Series) -> pd.Series:
 
 
 def url_ok(c: Column) -> Column:
+    return _url_udf(c)
+
+
+# alias used by the two-tier dispatch in sql_builders.url_ok — receives
+# NULL for rows the SQL fast path already decided
+def url_slow_ok(c: Column) -> Column:
     return _url_udf(c)
 
 
