@@ -536,19 +536,26 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_jaccard(spark, sf_dir):
+    # repartition before shingling: the docs parquet is one file (1-2
+    # scan partitions) and the explode fan-out (50x rows) would
+    # otherwise run on 2 of 32 cores; at cluster scale the input
+    # arrives in thousands of partitions and this is a no-op cost
     _load(spark, sf_dir, "documents")
-    docs2 = spark.sql(_DOCS2_SQL)
+    docs2 = spark.sql(_DOCS2_SQL) \
+        .repartition(spark.sparkContext.defaultParallelism)
     return jaccard_pairs(docs2, n=3, threshold=0.8)
 
 
 def q_minhash_signatures(spark, sf_dir):
-    t = _load(spark, sf_dir, "documents")["documents"]
+    t = (_load(spark, sf_dir, "documents")["documents"]
+         .repartition(spark.sparkContext.defaultParallelism))
     return minhash_signatures(t, n=3, num_perm=4)
 
 
 def q_simhash_pairs(spark, sf_dir):
     _load(spark, sf_dir, "documents")
-    docs2 = spark.sql(_DOCS2_SQL)
+    docs2 = spark.sql(_DOCS2_SQL) \
+        .repartition(spark.sparkContext.defaultParallelism)
     return simhash_pairs(docs2, max_hamming=3)
 
 
@@ -594,6 +601,34 @@ def q_ann_lsh(spark, sf_dir):
     queries = (t.filter("vec_id < 3")
                .selectExpr("vec_id AS query_id", "embedding"))
     return lsh_ann_topk(t, queries, k=5, dim=64, n_planes=6, n_tables=4)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing end-to-end: binary blob column + typed meta,
+    Arrow-batched mapInPandas decode. The codec is the documented
+    deterministic stub (md5-derived dims/checksum — no image libs in
+    this container), so the full pipeline is oracle-checkable; swapping
+    a real decoder is a one-function change (multimodal.py docstring)."""
+    from validify_spark.pipeline.multimodal import (attach_fake_blob,
+                                                    decode_media)
+    t = (_load(spark, sf_dir, "documents")["documents"]
+         .repartition(spark.sparkContext.defaultParallelism))
+    return decode_media(attach_fake_blob(t))
+
+
+def q_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan (explode fan-out shape) over synthetic
+    durations — pure SQL on both sides."""
+    from validify_spark.pipeline.multimodal import frame_sample_plan
+    _load(spark, sf_dir, "documents")
+    t = spark.sql("""
+      SELECT doc_id, named_struct(
+        'media_type', 'video', 'format', 'fake',
+        'width', CAST(NULL AS INT), 'height', CAST(NULL AS INT),
+        'duration_ms', CAST(length(text) * 10 AS INT),
+        'n_bytes', CAST(octet_length(text) AS BIGINT)) AS media_meta
+      FROM documents""")
+    return frame_sample_plan(t, every_ms=500)
 
 
 def q_ann_recall(spark, sf_dir):
@@ -684,6 +719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
         "ann_recall": q_ann_recall,
+        "multimodal_decode": q_multimodal_decode,
+        "frame_plan": q_frame_plan,
     }
 
 
@@ -1095,6 +1132,32 @@ def oracle_sql() -> dict[str, str]:
                    AS hamming
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+
+        # exact reproduction of the deterministic stub decode
+        # (multimodal.py _fake_decode): md5(blob) bytes 0/1 → dims,
+        # hex digest → checksum; blob = UTF-8 bytes of text
+        "multimodal_decode": """
+          WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+          SELECT doc_id,
+            CAST(16 + ((16 * (strpos('0123456789abcdef',
+                                     substr(h, 1, 1)) - 1)
+                        + (strpos('0123456789abcdef',
+                                  substr(h, 2, 1)) - 1)) % 64) AS INT)
+              AS width,
+            CAST(16 + ((16 * (strpos('0123456789abcdef',
+                                     substr(h, 3, 1)) - 1)
+                        + (strpos('0123456789abcdef',
+                                  substr(h, 4, 1)) - 1)) % 64) AS INT)
+              AS height,
+            h AS checksum
+          FROM m""",
+
+        "frame_plan": """
+          SELECT doc_id,
+                 unnest(generate_series(
+                   0, greatest(length(text) * 10 - 1, 0), 500))
+                   AS frame_ms
+          FROM documents""",
 
         "token_stats": r"""
           WITH w AS (

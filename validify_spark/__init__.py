@@ -47,6 +47,12 @@ from .rules import (
     variant_rules,
 )
 from .session import get_spark
+from .spec import (
+    ruleset_from_json,
+    ruleset_from_spec,
+    ruleset_from_yaml,
+    ruleset_to_spec,
+)
 
 __version__ = "0.1.0"
 
@@ -59,4 +65,6 @@ __all__ = [
     "map_values_",
     "schema_rule", "variant_rules", "variant_modifiers", "trim",
     "lowercase", "uppercase", "capitalize", "custom_modifier",
+    "ruleset_from_spec", "ruleset_from_json", "ruleset_from_yaml",
+    "ruleset_to_spec",
 ]

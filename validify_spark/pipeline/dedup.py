@@ -98,10 +98,14 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     shingles aren't near-dups). Pass ``max_df=None`` for exact behavior.
 
     No persist: the exploded shingle relation is O(tokens) — far larger
-    than the input at 100 TB — so we recompute the (cheap, narrow)
-    shingle expression per consumer and keep the whole plan streaming
-    instead of pinning it in executor memory."""
-    sh = word_shingles(df, id_col, text_col, n)
+    than the input at 100 TB — so instead of pinning it in executor
+    memory we repartition it by shingle ONCE and let Spark's exchange
+    reuse serve every consumer (hot-shingle agg + both self-join sides)
+    from the same shuffle files: the shingling map side runs exactly
+    once, and the join needs no further exchange (both sides are
+    already hash-partitioned on the join key)."""
+    sh = word_shingles(df, id_col, text_col, n) \
+        .repartition(F.col("shingle"))
     sizes = _doc_sizes(sh, id_col)
     if max_df is not None:
         hot = (sh.groupBy("shingle")
