@@ -108,3 +108,53 @@ def test_stream_windowed_metrics(spark, tmpdir):
         c for c in spark.table("metrics_stream").columns}
     for r in rows:
         assert r["n_rows"] >= r["n_failed_rows"]
+
+
+def test_stream_ordering_stateful_cross_batch(spark, tmpdir):
+    """applyInPandasWithState ordering check: single-batch output equals
+    the batch window-lag check, and state carries across micro-batches
+    (a gap between batch 1's tail and batch 2's head is detected, which
+    the stateless form cannot see)."""
+    import time as _time
+
+    from validify_spark.checks import ordering_violations
+    from validify_spark.streaming import stream_ordering_violations
+
+    rows1 = [("c1", 1, "2024-01-01T00:00:00"),
+             ("c1", 2, "2024-01-01T00:01:00"),
+             ("c2", 1, "2024-01-01T00:00:00"),
+             ("c2", 1, "2024-01-01T00:02:00")]   # dup in batch 1
+    rows2 = [("c1", 5, "2024-01-01T00:03:00"),   # gap vs batch-1 tail (2->5)
+             ("c2", 2, "2024-01-01T00:01:00")]   # ts backwards vs batch 1
+    ddl = "conv_id string, turn_idx int, ts_s string"
+
+    def mk(rows):
+        df = spark.createDataFrame(rows, ddl)
+        return df.selectExpr("conv_id", "turn_idx",
+                             "CAST(ts_s AS TIMESTAMP) AS ts")
+
+    src_dir = f"{tmpdir}/ordering_src"
+    mk(rows1).coalesce(1).write.mode("append").parquet(src_dir)
+    _time.sleep(1.1)  # distinct mtimes => file source batches in order
+    mk(rows2).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (spark.readStream.schema(mk(rows1).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    q = (stream_ordering_violations(stream)
+         .writeStream.format("memory").queryName("ord_stream")
+         .option("checkpointLocation", f"{tmpdir}/ord_ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["conv_id"], r["turn_idx"], r["code"])
+           for r in spark.sql("SELECT * FROM ord_stream").collect()}
+    # batch 1 violations + cross-batch: c1 gap 2->5, c2 ts backwards
+    assert got == {("c2", 1, "dup_turn_idx"),
+                   ("c1", 5, "turn_idx_gap"),
+                   ("c2", 2, "ts_out_of_order")}
+
+    # single-batch parity with the stateless batch check
+    both = mk(rows1).unionByName(mk(rows2))
+    batch = {(r["conv_id"], r["turn_idx"], r["code"])
+             for r in ordering_violations(both).collect()}
+    assert got == batch

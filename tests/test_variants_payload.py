@@ -162,3 +162,24 @@ def test_enum_validify_golden(spark):
     v = eng2.violations(df2).collect()
     assert [(r["id"], r["code"], r["location"]) for r in v] == \
         [(1, "length", "/basic")]
+
+
+def test_rename_all_camel_case(spark):
+    # with_serde.rs:55-79: rename_all=camelCase reports camelCase field
+    # names + locations; explicit display_name wins; nested paths only
+    # rename the leaf
+    from validify_spark import length, rename_all
+    df = spark.createDataFrame(
+        [(1, "", "1312213", ("",))],
+        "id int, snake_case string, snake_case_two string, "
+        "nest struct<inner_field: string>")
+    rules = rename_all([
+        length("snake_case", min=1),
+        length("snake_case_two", max=5),
+        length("nest.inner_field", min=1),
+    ])
+    v = _eng(rules).violations(df).collect()
+    got = sorted((r["location"], r["field"]) for r in v)
+    assert got == [("/nest/innerField", "innerField"),
+                   ("/snakeCase", "snakeCase"),
+                   ("/snakeCaseTwo", "snakeCaseTwo")]

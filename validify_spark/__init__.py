@@ -37,6 +37,7 @@ from .rules import (
     phone,
     range_,
     regex,
+    rename_all,
     required,
     schema_rule,
     time,
@@ -66,5 +67,5 @@ __all__ = [
     "schema_rule", "variant_rules", "variant_modifiers", "trim",
     "lowercase", "uppercase", "capitalize", "custom_modifier",
     "ruleset_from_spec", "ruleset_from_json", "ruleset_from_yaml",
-    "ruleset_to_spec",
+    "ruleset_to_spec", "rename_all",
 ]

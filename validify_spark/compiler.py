@@ -413,8 +413,12 @@ def _compile_iter(rule: Rule, schema: T.StructType,
         edt = (resolve_type(etype, sub)
                if (sub and isinstance(etype, T.StructType)) else etype)
         ok, prm = ok_and_params(inner, elem, edt, run_ts)
+        # inner display_name renames the location leaf, like
+        # ValidationError::new_field_named (error_location.rs:186-190
+        # golden '/second/invalid_grandchildren/2/obfuscated')
+        subloc = inner.display_name or sub
         loc = F.concat(F.lit(base_loc + "/"), i.cast("string"),
-                       F.lit("/" + sub) if sub else F.lit(""))
+                       F.lit("/" + subloc) if subloc else F.lit(""))
         viol = make_violation(rule.rule_id, field_name, loc,
                               inner.effective_code, inner.message
                               or rule.message, prm)
@@ -450,8 +454,9 @@ def _compile_map_values(rule: Rule, schema: T.StructType,
         edt = (resolve_type(vtype, sub)
                if (sub and isinstance(vtype, T.StructType)) else vtype)
         ok, prm = ok_and_params(inner, elem, edt, run_ts)
+        subloc = inner.display_name or sub
         loc = F.concat(F.lit(base_loc + "/"), e["key"].cast("string"),
-                       F.lit("/" + sub) if sub else F.lit(""))
+                       F.lit("/" + subloc) if subloc else F.lit(""))
         viol = make_violation(rule.rule_id, field_name, loc,
                               inner.effective_code,
                               inner.message or rule.message, prm)

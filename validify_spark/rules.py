@@ -138,9 +138,15 @@ class Rule:
 
     @property
     def location(self) -> str:
-        """JSON-pointer-ish location prefix (error.rs:117-158)."""
+        """JSON-pointer-ish location prefix (error.rs:117-158). A
+        display_name renames only the LEAF of a dotted path — serde
+        rename applies to the field, not its parents
+        (with_serde.rs:5-29)."""
         if self.kind == "schema":
             return "/"
+        if self.display_name and self.column and "." in self.column:
+            prefix = "/".join(self.column.split(".")[:-1])
+            return "/" + prefix + "/" + self.display_name
         name = self.display_name or self.column or ""
         return "/" + name.replace(".", "/")
 
@@ -301,6 +307,40 @@ def variant_rules(tag_column: str, cases: dict,
         gate = f"`{tag_column}` = {_sql_literal(value)}"
         for r in rules:
             out.append(replace(r, params={**r.params, "_gate": gate}))
+    return out
+
+
+def _convert_case(name: str, convention: str) -> str:
+    parts = name.split("_")
+    if convention == "camelCase":
+        return parts[0] + "".join(p[:1].upper() + p[1:]
+                                  for p in parts[1:])
+    if convention == "PascalCase":
+        return "".join(p[:1].upper() + p[1:] for p in parts)
+    if convention == "kebab-case":
+        return "-".join(parts)
+    if convention == "SCREAMING_SNAKE_CASE":
+        return name.upper()
+    if convention == "snake_case":
+        return name
+    raise RuleSpecError(f"rename_all: unknown convention {convention}")
+
+
+def rename_all(rules: Sequence[Rule],
+               convention: str = "camelCase") -> list:
+    """serde `rename_all` analog (with_serde.rs:55-79): every rule
+    without an explicit display_name gets one derived from its column's
+    leaf under ``convention``; violations then carry the renamed field
+    in locations and field names."""
+    out = []
+    for r in rules:
+        if (r.display_name is None and r.column
+                and r.kind != "schema"):
+            leaf = r.column.split(".")[-1]
+            out.append(replace(
+                r, display_name=_convert_case(leaf, convention)))
+        else:
+            out.append(r)
     return out
 
 

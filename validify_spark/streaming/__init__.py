@@ -1,3 +1,5 @@
-from .validate import stream_violations, stream_partition_metrics
+from .validate import (stream_ordering_violations,
+                       stream_partition_metrics, stream_violations)
 
-__all__ = ["stream_violations", "stream_partition_metrics"]
+__all__ = ["stream_violations", "stream_partition_metrics",
+           "stream_ordering_violations"]
