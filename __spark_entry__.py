@@ -489,6 +489,33 @@ def q_referential(spark, sf_dir):
                                "p_partkey", broadcast_parent=True)
 
 
+def q_partition_report(spark, sf_dir):
+    """Per-partition pass/fail verdicts (north_rule: 'matching the
+    reference's per-partition pass/fail'): one row per partition with
+    row/failed counts and the verdict."""
+    t = _load(spark, sf_dir, "orders")["orders"]
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.range_("o_totalprice", min=0,
+                                    max=300000)]),
+        key_cols=["o_orderkey"])
+    return eng.partition_report(t, "o_orderpriority")
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-proof two-phase aggregation (explicit salting): results are
+    bit-identical to a plain groupBy — which is exactly what the oracle
+    checks — while bounding any single task's state on hot keys."""
+    from validify_spark.checks import salted_agg
+    t = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return salted_agg(
+        t, ["l_returnflag"],
+        [F.count("*").alias("n"),
+         F.sum("l_quantity").alias("qty")],
+        [F.sum("n").alias("n_rows"),
+         F.round(F.sum("qty"), 2).alias("sum_qty")],
+        n_salts=16)
+
+
 def q_stats_profile(spark, sf_dir):
     t = _load(spark, sf_dir, "lineitem")["lineitem"]
     return stats_profile_exact(t, ["l_quantity", "l_discount",
@@ -703,6 +730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modifiers": q_modifiers,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
+        "partition_report": q_partition_report,
+        "salted_agg": q_salted_agg,
         "stats_profile": q_stats_profile,
         "stats_profile_sketch": q_stats_profile_sketch,
         "drift": q_drift,
@@ -955,6 +984,27 @@ def oracle_sql() -> dict[str, str]:
           WHERE l_partkey NOT IN (SELECT p_partkey FROM part
                                   WHERE p_partkey IS NOT NULL)
           GROUP BY l_partkey""",
+
+        "partition_report": """
+          SELECT o_orderpriority AS partition_id,
+                 count(*) AS n_rows,
+                 CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                          AND NOT (CAST(o_totalprice AS DOUBLE) >= 0
+                                   AND CAST(o_totalprice AS DOUBLE)
+                                       <= 300000)
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_failed_rows,
+                 sum(CASE WHEN o_totalprice IS NOT NULL
+                     AND NOT (CAST(o_totalprice AS DOUBLE) >= 0
+                              AND CAST(o_totalprice AS DOUBLE)
+                                  <= 300000)
+                     THEN 1 ELSE 0 END) = 0 AS passed
+          FROM orders GROUP BY o_orderpriority""",
+
+        "salted_agg": """
+          SELECT l_returnflag, count(*) AS n_rows,
+                 round(sum(l_quantity), 2) AS sum_qty
+          FROM lineitem GROUP BY l_returnflag""",
 
         "stats_profile": """
           SELECT 'l_quantity' AS column, count(*) AS n_rows,
