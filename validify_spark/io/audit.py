@@ -58,12 +58,21 @@ class AuditedValidationRun:
     def __init__(self, engine: ValidationEngine, out_dir: str,
                  run_id: str = "run1",
                  partition_expr: Optional[Column] = None,
-                 n_buckets: int = 16):
+                 n_buckets: int = 16,
+                 audit_table: Optional[str] = None):
+        """``audit_table``: optional Iceberg table identifier
+        (``catalog.db.audit``) — lineage + metrics rows append there
+        via the sources abstraction instead of the default parquet
+        path under ``out_dir`` (north_rule: 'lineage + metrics rows
+        written to an Iceberg audit table'; the sandbox has no Iceberg
+        jar, so tests exercise the parquet route of the same code
+        path)."""
         self.engine = engine
         self.out_dir = out_dir.rstrip("/")
         self.run_id = run_id
         self.n_buckets = n_buckets
         self.partition_expr = partition_expr
+        self.audit_table = audit_table
         os.makedirs(self._marker_dir, exist_ok=True)
 
     # -- layout -----------------------------------------------------------
@@ -200,9 +209,11 @@ class AuditedValidationRun:
             })
         # audit rows first, markers last: a crash between the two re-runs
         # the batch (idempotent overwrite), never skips it
-        spark.createDataFrame([tuple(p.values()) for p in payloads],
-                              AUDIT_SCHEMA) \
-            .write.mode("append").parquet(self.audit_path)
+        from .sources import write_table
+        adf = spark.createDataFrame(
+            [tuple(p.values()) for p in payloads], AUDIT_SCHEMA)
+        write_table(adf, self.audit_table or self.audit_path,
+                    mode="append")
         for p in payloads:
             _atomic_write_json(
                 f"{self._marker_dir}/{p['partition_id']}.json", p)
