@@ -222,20 +222,42 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
+        # Vectorized bit votes: md5 per token is the only Python-level
+        # loop (hashlib has no batch API); the 64-bit expansion + vote
+        # accumulation runs as one numpy op over ALL tokens of ALL docs
+        # in the Arrow batch (r1 review flagged the per-token bit loop
+        # as the slow spot).
+        shifts = np.arange(64, dtype=np.uint64)
         out = []
+        doc_tokens = []
+        doc_spans = []  # (start, end) into the flat hash array
+        pos = 0
         for t in texts:
             if t is None:
+                doc_spans.append(None)
+                continue
+            toks = set(t.lower().split())
+            doc_tokens.extend(toks)
+            doc_spans.append((pos, pos + len(toks)))
+            pos += len(toks)
+        if doc_tokens:
+            hs = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8],
+                    "big") for tok in doc_tokens),
+                dtype=np.uint64, count=len(doc_tokens))
+            # (n_tokens, 64) sign matrix in one shot
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)) \
+                .astype(np.int64)
+            signs = bits * 2 - 1
+        for span in doc_spans:
+            if span is None:
                 out.append(None)
                 continue
-            votes = np.zeros(64, dtype=np.int64)
-            for tok in set(t.lower().split()):
-                h = np.uint64(int.from_bytes(
-                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"))
-                bits = ((h >> np.arange(64, dtype=np.uint64))
-                        & np.uint64(1)).astype(np.int64)
-                votes += bits * 2 - 1
-            fp = int(((votes > 0).astype(np.uint64)
-                      << np.arange(64, dtype=np.uint64)).sum())
+            lo, hi = span
+            votes = (signs[lo:hi].sum(axis=0) if hi > lo
+                     else np.zeros(64, dtype=np.int64))
+            fp = int(((votes > 0).astype(np.uint64) << shifts).sum())
             # store as signed 64-bit
             out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
         return pd.Series(out, dtype="object")
