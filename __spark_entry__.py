@@ -643,6 +643,16 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_media(attach_fake_blob(t))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Resize pass over binary blobs (stub resampler — deterministic
+    md5(md5(blob) || '-WxH'), so the Arrow plumbing is value-checked)."""
+    from validify_spark.pipeline.multimodal import (attach_fake_blob,
+                                                    resize_media)
+    t = (_load(spark, sf_dir, "documents")["documents"]
+         .repartition(spark.sparkContext.defaultParallelism))
+    return resize_media(attach_fake_blob(t), width=32, height=24)
+
+
 def q_frame_plan(spark, sf_dir):
     """Video frame-sampling plan (explode fan-out shape) over synthetic
     durations — pure SQL on both sides."""
@@ -749,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_recall": q_ann_recall,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
         "frame_plan": q_frame_plan,
     }
 
@@ -1201,6 +1212,11 @@ def oracle_sql() -> dict[str, str]:
               AS height,
             h AS checksum
           FROM m""",
+
+        "multimodal_resize": """
+          SELECT doc_id, 32 AS width, 24 AS height,
+                 md5(md5(text) || '-32x24') AS resized_checksum
+          FROM documents""",
 
         "frame_plan": """
           SELECT doc_id,

@@ -212,3 +212,19 @@ def test_n_planes_for_scaling():
     assert n_planes_for(100, 256) == 1
     assert n_planes_for(1 << 20, 256) == 12
     assert n_planes_for(10 ** 9, 256) == 22
+
+
+def test_resize_media_stub(spark, docs):
+    from validify_spark.pipeline.multimodal import (attach_fake_blob,
+                                                    resize_media)
+    import hashlib
+    with_blob = attach_fake_blob(docs)
+    out = {r["doc_id"]: r for r in
+           resize_media(with_blob, 32, 24).collect()}
+    assert out[0]["width"] == 32 and out[0]["height"] == 24
+    want = hashlib.md5(
+        (hashlib.md5(DOCS[0][1].encode()).hexdigest() + "-32x24")
+        .encode()).hexdigest()
+    assert out[0]["resized_checksum"] == want
+    with pytest.raises(NotImplementedError):
+        resize_media(with_blob, 32, 24, strict=True)

@@ -88,6 +88,46 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, blob_col).mapInPandas(run, schema=out_schema)
 
 
+def resize_media(df: DataFrame, width: int, height: int,
+                 id_col: str = "doc_id", blob_col: str = "blob",
+                 resize_fn: Optional[Callable[[bytes, int, int],
+                                              bytes]] = None,
+                 strict: bool = False) -> DataFrame:
+    """mapInPandas resize pass: binary → (width, height, checksum of
+    the resized bytes). Same stub contract as decode_media: the real
+    resampler plugs in via ``resize_fn``; the default produces
+    deterministic fake output (md5(md5(blob) || '-WxH')) so the full
+    Arrow plumbing is value-checkable against a SQL oracle."""
+    if strict and resize_fn is None:
+        raise NotImplementedError(
+            "no image codec available in this environment; supply "
+            "resize_fn (e.g. PIL-backed) to resize_media()")
+
+    out_schema = (f"{id_col} long, width int, height int, "
+                  f"resized_checksum string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = []
+            for b in pdf[blob_col]:
+                if b is None:
+                    sums.append(None)
+                elif resize_fn is not None:
+                    sums.append(hashlib.md5(
+                        resize_fn(bytes(b), width, height)).hexdigest())
+                else:
+                    inner = hashlib.md5(bytes(b)).hexdigest()
+                    sums.append(hashlib.md5(
+                        f"{inner}-{width}x{height}".encode()).hexdigest())
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "width": width, "height": height,
+                "resized_checksum": sums,
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=out_schema)
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id",
                      blob_col: str = "blob",
                      dim: int = IMAGE_FEATURES_DIM) -> DataFrame:
