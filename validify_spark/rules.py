@@ -255,6 +255,15 @@ def time(column: str, op: str, target: Optional[Any] = None,
          hours: int = 0, days: int = 0, weeks: int = 0,
          format: Optional[str] = None, target_column: Optional[str] = None,
          **kw: Any) -> Rule:
+    """Time constraint (the 7 ops of validify/src/validation/time.rs).
+
+    Documented divergence: string ``target`` values are parse-checked
+    at RuleSet build time (the sanity pass) and a bad target raises
+    RuleSpecError immediately — the reference defers the parse to
+    runtime and emits an error with actual+format params
+    (tokens.rs:740-747). Failing at build time is strictly earlier
+    feedback for the same misconfiguration; there is no per-row
+    runtime parse because targets are literals, never row data."""
     interval = (seconds + 60 * minutes + 3600 * hours + 86400 * days
                 + 604800 * weeks)
     return _mk(
