@@ -121,3 +121,25 @@ def test_ip_any_two_tier_matches_python(spark, strings):
              .collect()}
     for i, s in enumerate(strings):
         assert got[i] == _is_ip_any(s), repr(s)
+
+
+_url_alphabet = st.sampled_from(
+    list("abzAZ09:/.?#@[]%-_+ ") + ["http", "://", "mailto:", "ftp"])
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(_url_alphabet, min_size=1, max_size=8)
+                .map("".join), min_size=1, max_size=80))
+def test_url_two_tier_matches_full_python(spark, strings):
+    # regex fast path + scheme-gated WHATWG UDF == the full Python
+    # check on arbitrary junk (catches fast-true/slow-false divergence)
+    from validify_spark.validators.sql_builders import url_ok
+    from validify_spark.validators.udf_tier import _is_url
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)],
+                               "i int, s string")
+    got = {r["i"]: bool(r["ok"]) for r in
+           df.select("i", F.coalesce(url_ok(F.col("s")),
+                                     F.lit(False)).alias("ok"))
+             .collect()}
+    for i, s in enumerate(strings):
+        assert got[i] == _is_url(s), repr(s)
