@@ -274,8 +274,17 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     Banded join: split the 64-bit fingerprint into 4 16-bit bands; any
     pair within Hamming distance ≤ 3 matches exactly on ≥1 band
     (pigeonhole), so candidates = same-band docs only — never all pairs.
-    Verify with bit_count(xor) in pure SQL."""
-    fp = simhash_fingerprints(df, id_col, text_col)
+    Verify with bit_count(xor) in pure SQL.
+
+    The fingerprint UDF runs ONCE: fp is localCheckpoint-ed (it's tiny —
+    one long per doc) so every band branch (4 bands × 2 join sides)
+    reads the materialized blocks instead of re-running the Arrow UDF
+    per branch. Exchange reuse alone doesn't dedupe here: PythonUDF
+    expressions don't canonicalize as equal, so the 8 exchange subtrees
+    stay distinct (plan audit showed 16 UDF recomputations originally,
+    8 with a repartition, 1 with the checkpoint)."""
+    fp = simhash_fingerprints(df, id_col, text_col) \
+        .localCheckpoint(eager=False)
     bands = [
         (F.shiftrightunsigned(F.col("simhash"), 16 * b)
          .bitwiseAND(F.lit(0xFFFF))).alias(f"b{b}")
