@@ -88,21 +88,30 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """Approximate top-k: candidates share an LSH bucket in ≥1 of
     n_tables hyperplane tables; exact cosine re-rank inside buckets.
     Misses are possible (that's the trade) — recall grows with
-    n_tables and shrinks with n_planes."""
-    cand = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed * 1000 + t)
-        c_sig = corpus.select(
-            id_col, vec_col,
-            lsh_signature(F.col(vec_col), planes).alias("bucket"))
-        q_sig = F.broadcast(queries.select(
-            query_id_col,
-            F.col(vec_col).alias("__qvec"),
-            lsh_signature(F.col(vec_col), planes).alias("bucket")))
-        c = c_sig.join(q_sig, "bucket").select(
-            query_id_col, id_col, vec_col, "__qvec")
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates([query_id_col, id_col])
+    n_tables and shrinks with n_planes.
+
+    ONE corpus scan: all n_tables signatures are computed in a single
+    projection and posexploded into (table, bucket) rows, instead of a
+    union of per-table branches that each re-scan the corpus (at 100 TB
+    the corpus scan dominates; the old shape cost n_tables scans)."""
+    all_planes = [_hyperplanes(dim, n_planes, seed * 1000 + t)
+                  for t in range(n_tables)]
+
+    def sig_array(vec: Column) -> Column:
+        return F.array(*[lsh_signature(vec, p) for p in all_planes])
+
+    c_sig = corpus.select(
+        id_col, vec_col,
+        F.posexplode(sig_array(F.col(vec_col)))
+         .alias("__t", "bucket"))
+    q_sig = F.broadcast(queries.select(
+        query_id_col,
+        F.col(vec_col).alias("__qvec"),
+        F.posexplode(sig_array(F.col(vec_col)))
+         .alias("__t", "bucket")))
+    cand = (c_sig.join(q_sig, ["__t", "bucket"])
+            .select(query_id_col, id_col, vec_col, "__qvec")
+            .dropDuplicates([query_id_col, id_col]))
     scored = cand.select(
         query_id_col, id_col,
         cosine(F.col(vec_col), F.col("__qvec")).alias("cosine"))
@@ -167,22 +176,23 @@ def cosine_self_pairs(corpus: DataFrame, threshold: float = 0.95,
     if exact:
         cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
-        cand = None
-        for t in range(n_tables):
-            planes = _hyperplanes(dim, n_planes, seed * 1000 + t)
-            sig = corpus.select(
-                F.col(id_col),
-                F.col(vec_col),
-                lsh_signature(F.col(vec_col), planes).alias("bucket"))
-            l = sig.select(F.col(id_col).alias("id_a"),
-                           F.col(vec_col).alias("__va"), "bucket")
-            r = sig.select(F.col(id_col).alias("id_b"),
-                           F.col(vec_col).alias("__vb"), "bucket")
-            c = (l.join(r, "bucket")
-                 .filter(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "__va", "id_b", "__vb"))
-            cand = c if cand is None else cand.unionByName(c)
-        cand = cand.dropDuplicates(["id_a", "id_b"])
+        # one corpus scan: all tables' buckets in a single projection,
+        # posexploded to (table, bucket); self-join on the pair
+        all_planes = [_hyperplanes(dim, n_planes, seed * 1000 + t)
+                      for t in range(n_tables)]
+        sig = corpus.select(
+            F.col(id_col), F.col(vec_col),
+            F.posexplode(F.array(*[
+                lsh_signature(F.col(vec_col), p) for p in all_planes]))
+             .alias("__t", "bucket"))
+        l = sig.select(F.col(id_col).alias("id_a"),
+                       F.col(vec_col).alias("__va"), "__t", "bucket")
+        r = sig.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).alias("__vb"), "__t", "bucket")
+        cand = (l.join(r, ["__t", "bucket"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "__va", "id_b", "__vb")
+                .dropDuplicates(["id_a", "id_b"]))
     return (cand
             .select("id_a", "id_b",
                     F.round(cosine(F.col("__va"), F.col("__vb")), 6)
