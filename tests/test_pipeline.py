@@ -228,3 +228,23 @@ def test_resize_media_stub(spark, docs):
     assert out[0]["resized_checksum"] == want
     with pytest.raises(NotImplementedError):
         resize_media(with_blob, 32, 24, strict=True)
+
+
+def test_cosine_self_pairs_lsh_mode(spark):
+    # identical vectors share every hyperplane bucket deterministically,
+    # so LSH mode must find exactly the same pairs as the exact path
+    import random
+    rng = random.Random(3)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(5)]
+    rows = [(i * 10 + j, base[i]) for i in range(5) for j in range(3)]
+    corpus = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.999, dim=16, n_planes=4, n_tables=4)
+    exact = {(r["id_a"], r["id_b"])
+             for r in cosine_self_pairs(corpus, exact=True,
+                                        **kw).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in cosine_self_pairs(corpus, exact=False,
+                                      **kw).collect()}
+    assert exact == lsh
+    assert len(exact) == 5 * 3  # 3 pairs per 3-clone cluster
