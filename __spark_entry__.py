@@ -570,7 +570,9 @@ def q_dedup_jaccard(spark, sf_dir):
     _load(spark, sf_dir, "documents")
     docs2 = spark.sql(_DOCS2_SQL) \
         .repartition(spark.sparkContext.defaultParallelism)
-    return jaccard_pairs(docs2, n=3, threshold=0.8)
+    # max_df is the opt-in stop-shingle cap (library default is exact);
+    # passed explicitly here to exercise + oracle-check the capped path
+    return jaccard_pairs(docs2, n=3, threshold=0.8, max_df=1000)
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -627,7 +629,8 @@ def q_ann_lsh(spark, sf_dir):
     t = _load(spark, sf_dir, "embeddings")["embeddings"]
     queries = (t.filter("vec_id < 3")
                .selectExpr("vec_id AS query_id", "embedding"))
-    return lsh_ann_topk(t, queries, k=5, dim=64, n_planes=6, n_tables=4)
+    # n_planes omitted ⇒ auto-scaled to the corpus size (n_planes_for)
+    return lsh_ann_topk(t, queries, k=5, dim=64, n_tables=4)
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -677,8 +680,8 @@ def q_ann_recall(spark, sf_dir):
     t = _load(spark, sf_dir, "embeddings")["embeddings"]
     queries = (t.filter("vec_id < 3")
                .selectExpr("vec_id AS query_id", "embedding"))
-    return ann_recall_at_k(t, queries, k=5, dim=64, n_planes=6,
-                           n_tables=4)
+    # auto-scaled n_planes, matching q_ann_lsh's defaults
+    return ann_recall_at_k(t, queries, k=5, dim=64, n_tables=4)
 
 
 def q_stats_profile_sketch(spark, sf_dir):
@@ -1126,15 +1129,16 @@ def oracle_sql() -> dict[str, str]:
 
         "dedup_jaccard": f"""
           WITH {shingle_docs2},
-          sizes AS (SELECT doc_id, count(*) AS set_size FROM sh
-                    GROUP BY doc_id),
           -- mirror jaccard_pairs(max_df=1000): hot shingles are dropped
-          -- from the inverted-index join, set sizes stay uncapped
+          -- from the inverted-index join AND from the set sizes, so the
+          -- Jaccard ratio is consistent over the surviving universe
           sh_use AS (
             SELECT doc_id, shingle FROM sh
             WHERE shingle NOT IN (
               SELECT shingle FROM sh GROUP BY shingle
               HAVING count(*) > 1000)),
+          sizes AS (SELECT doc_id, count(*) AS set_size FROM sh_use
+                    GROUP BY doc_id),
           inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    count(*) AS intersection

@@ -1,0 +1,380 @@
+"""Round-3 regression tests: ADVICE fixes (gated schema rules in phase
+2, audit __pid vs modifiers, jaccard max_df default, audit read-back
+hardening, streaming chunk-boundary sort) and VERDICT items (scalable
+cosine_topk, auto-scaled LSH planes, phone UDF gating, storage-backed
+simhash fingerprints, runtime time-target parse errors, Iceberg write
+contract)."""
+
+import math
+import random
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import validify_spark as vs
+from validify_spark.engine import ValidationEngine
+from validify_spark.io import AuditedValidationRun
+from validify_spark.pipeline import (
+    cosine_topk, jaccard_pairs, simhash_pairs,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="validify_r3_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 1: gated schema rules keep their gate in phase 2
+# ---------------------------------------------------------------------------
+
+
+def test_gated_schema_rule_stays_gated_in_phase2(spark):
+    """A row of variant 'b' that reaches phase 2 by failing b's range
+    rule must NOT collect variant a's schema violation."""
+    df = spark.createDataFrame(
+        [(1, "a", 500.0),   # fails a's schema rule only
+         (2, "b", 500.0),   # fails b's range rule only
+         (3, "a", 50.0),    # passes
+         (4, "b", 5.0)],    # passes
+        "id long, kind string, amount double")
+    rules = vs.variant_rules("kind", {
+        "a": [vs.schema_rule("amount < 100", code="a_schema")],
+        "b": [vs.range_("amount", min=0, max=10)],
+    })
+    eng = ValidationEngine(vs.RuleSet(rules=rules), key_cols=["id"])
+    got = {(r["id"], r["code"]) for r in eng.violations(df).collect()}
+    assert got == {(1, "a_schema"), (2, "range")}
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 2: audit __pid computed on the RAW df (pre-modifier)
+# ---------------------------------------------------------------------------
+
+
+def test_audit_pid_unaffected_by_modifiers(spark, tmpdir):
+    """A trim modifier on the partition-key column must not shift rows
+    out of their planned groups (pre-fix: normalized pids differed from
+    planned pids and every row was silently dropped)."""
+    df = spark.createDataFrame(
+        [(f"c{i}", 0, " a" if i % 2 else "b ") for i in range(20)],
+        "conv_id string, turn_idx int, cat string")
+    eng = ValidationEngine(
+        vs.RuleSet(rules=[vs.length("cat", min=1, max=10)],
+                   modifiers=[vs.trim("cat")]),
+        key_cols=["conv_id", "turn_idx"])
+    run = AuditedValidationRun(
+        eng, tmpdir, run_id="pid", partition_expr=F.col("cat"),
+        partition_domain=[" a", "b "])  # no-scan custom-expr planning
+    assert run.planned_partitions(df) == [" a", "b "]
+    done = run.run(df)
+    assert {p["partition_id"] for p in done} == {" a", "b "}
+    assert sum(p["n_rows"] for p in done) == 20
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 4 / VERDICT 6: corrupted violations dir fails the batch
+# ---------------------------------------------------------------------------
+
+
+def test_corrupt_violations_dir_fails_batch(spark, tmpdir):
+    clean = spark.createDataFrame(
+        [(f"c{i}", 0, "hello") for i in range(10)],
+        "conv_id string, turn_idx int, text string")
+    eng = ValidationEngine(
+        vs.RuleSet(rules=[vs.length("text", min=1, max=50)]),
+        key_cols=["conv_id", "turn_idx"])
+    run = AuditedValidationRun(eng, tmpdir, run_id="corrupt",
+                               n_buckets=2)
+    # plant a garbage data file where the read-back will find it
+    import os
+    pdir = f"{run.violations_dir}/partition_id=0"
+    os.makedirs(pdir, exist_ok=True)
+    with open(f"{pdir}/part-00000-bogus.parquet", "wb") as f:
+        f.write(b"this is not parquet")
+    with pytest.raises(Exception):
+        run.run(clean)
+    # no passed=true marker was minted for the broken batch
+    assert run.completed_partitions() == set()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 3: jaccard default is exact; capping keeps ratios consistent
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_default_keeps_hot_clusters(spark):
+    docs = [(i, "the quick brown fox jumps over the lazy dog")
+            for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    # default (exact): the 8-doc clone cluster surfaces in full
+    assert jaccard_pairs(df, threshold=0.9).count() == 8 * 7 // 2
+    # opt-in cap below the cluster size drops it (documented trade)
+    assert jaccard_pairs(df, threshold=0.9, max_df=3).count() == 0
+
+
+def test_jaccard_capped_sizes_are_consistent(spark):
+    """Under max_df, sizes and intersections use the same surviving
+    shingle universe — two docs identical outside the hot shingles get
+    jaccard 1.0, not a downward-biased ratio."""
+    common = "alpha beta gamma delta epsilon zeta"
+    rows = []
+    for i in range(10):
+        tail = ("shared tail words equal here" if i < 2
+                else f"unique{i} tokens number {i} only")
+        rows.append((i, common + " " + tail))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {(r["id_a"], r["id_b"]): r
+             for r in jaccard_pairs(df, threshold=0.99,
+                                    max_df=5).collect()}
+    assert (0, 1) in pairs
+    p = pairs[(0, 1)]
+    assert p["jaccard"] == 1.0
+    assert p["intersection"] == p["size_a"] == p["size_b"]
+
+
+# ---------------------------------------------------------------------------
+# VERDICT 1: cosine_topk = partial top-k per partition + merge
+# ---------------------------------------------------------------------------
+
+
+def _toy_embeddings(spark, n=200, dim=8, seed=7):
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(n)]
+    return rows, spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>")
+
+
+def test_cosine_topk_matches_bruteforce_and_has_no_window(spark):
+    rows, corpus = _toy_embeddings(spark)
+    corpus = corpus.repartition(8)
+    queries = (corpus.filter("vec_id < 4")
+               .selectExpr("vec_id AS query_id", "embedding"))
+    out = cosine_topk(corpus, queries, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # no single-partition-per-key reduce
+
+    vecs = dict(rows)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(y * y for y in b)))
+
+    got = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+           for r in out.collect()}
+    for q in range(4):
+        scored = sorted(((cos(vecs[q], v), -i) for i, v in vecs.items()),
+                        reverse=True)
+        for rank, (c, negi) in enumerate(scored[:10], start=1):
+            vid, cval = got[(q, rank)]
+            assert vid == -negi
+            assert abs(cval - round(c, 6)) < 1e-6
+
+
+def test_lsh_ann_topk_partial_merge_shape(spark):
+    from validify_spark.pipeline import lsh_ann_topk
+    _rows, corpus = _toy_embeddings(spark, n=300, dim=16, seed=3)
+    queries = (corpus.filter("vec_id < 3")
+               .selectExpr("vec_id AS query_id", "embedding"))
+    out = lsh_ann_topk(corpus, queries, k=5, dim=16, n_planes=2,
+                       n_tables=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT 3: auto-scaled LSH planes
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_n_planes_two_corpus_sizes():
+    from validify_spark.pipeline.similarity import _resolve_n_planes
+    assert _resolve_n_planes(None, 8, None) == 8        # explicit wins
+    assert _resolve_n_planes(None, None, 1 << 20) == 12
+    assert _resolve_n_planes(None, None, 10 ** 9) == 22
+
+
+def test_ann_recall_with_auto_planes(spark):
+    from validify_spark.pipeline import ann_recall_at_k
+    _rows, corpus = _toy_embeddings(spark, n=400, dim=16, seed=11)
+    queries = (corpus.filter("vec_id < 5")
+               .selectExpr("vec_id AS query_id", "embedding"))
+    rec = ann_recall_at_k(corpus, queries, k=5, dim=16,
+                          n_tables=4).collect()  # n_planes auto
+    assert len(rec) == 5
+    assert min(r["recall_at_k"] for r in rec) >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# VERDICT 4: phone UDF gating
+# ---------------------------------------------------------------------------
+
+
+def test_phone_gate_correct_and_in_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "+14152370800"), (2, "14152370800"), (3, "0642926829"),
+         (4, "A012"), (5, None), (6, "+385991234567")],
+        "id long, p string")
+    eng = ValidationEngine(vs.RuleSet(rules=[vs.phone("p")]),
+                           key_cols=["id"])
+    bad = {r["id"] for r in eng.violations(df).collect()}
+    assert bad == {2, 3, 4}  # NULL passes; both '+' numbers valid
+    # the Arrow UDF is fed the gated CASE WHEN column, not the raw one
+    flagged = eng.with_valid_flag(df)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "CASE WHEN" in plan and "contains" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# VERDICT 5: storage-backed simhash fingerprints
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_checkpoint_dir_equivalent(spark, tmpdir):
+    docs = [(i, f"some shared prefix words here tail{i % 3}")
+            for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    default = {(r["id_a"], r["id_b"], r["hamming"])
+               for r in simhash_pairs(df).collect()}
+    stored = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in simhash_pairs(
+                  df, checkpoint_dir=tmpdir).collect()}
+    assert default == stored and len(stored) > 0
+
+
+# ---------------------------------------------------------------------------
+# VERDICT 7: runtime parse errors for string time targets
+# ---------------------------------------------------------------------------
+
+
+def test_time_string_target_runtime_parse(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-06-01 00:00:00"),  # ok
+         (2, "2024-12-01 00:00:00", "2024-06-01 00:00:00"),  # late
+         (3, "2024-01-01 00:00:00", "not a date"),           # unparseable
+         (4, "2024-01-01 00:00:00", None),                   # NULL target
+         (5, None, "garbage")],                              # NULL value
+        "id long, ts_s string, deadline string") \
+        .selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts", "deadline")
+    rule = vs.time("ts", op="before", target_column="deadline",
+                   format="yyyy-MM-dd HH:mm:ss")
+    eng = ValidationEngine(vs.RuleSet(rules=[rule]), key_cols=["id"])
+    viol = {r["id"]: r for r in eng.violations(df).collect()}
+    assert set(viol) == {2, 3, 4}  # 1 passes; 5 NULL value passes
+    # comparison failure carries actual+target
+    assert viol[2]["code"] == "before"
+    assert set(viol[2]["params"]) == {"actual", "target"}
+    # parse failure carries actual+format (tokens.rs:740-747 parity)
+    for i in (3, 4):
+        assert viol[i]["code"] == "before"
+        assert viol[i]["params"]["format"] == "yyyy-MM-dd HH:mm:ss"
+        assert "actual" in viol[i]["params"]
+        assert "target" not in viol[i]["params"]
+
+
+def test_time_string_target_in_period(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00", "2024-01-01 00:00:00"),  # inside
+         (2, "2024-03-01 00:00:00", "2024-01-01 00:00:00"),  # outside
+         (3, "2024-01-05 00:00:00", "xx")],                  # unparseable
+        "id long, ts_s string, start_s string") \
+        .selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts", "start_s")
+    rule = vs.time("ts", op="in_period", target_column="start_s",
+                   format="yyyy-MM-dd HH:mm:ss", days=30)
+    eng = ValidationEngine(vs.RuleSet(rules=[rule]), key_cols=["id"])
+    viol = {r["id"]: r for r in eng.violations(df).collect()}
+    assert set(viol) == {2, 3}
+    assert set(viol[2]["params"]) == {"actual", "from", "to"}
+    assert set(viol[3]["params"]) == {"actual", "format"}
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 5: streaming ordering sorts the whole group, not per chunk
+# ---------------------------------------------------------------------------
+
+
+def test_stream_ordering_multi_chunk_group(spark, tmpdir):
+    """A conversation larger than one Arrow batch must not produce
+    false violations from unsorted chunk boundaries."""
+    from validify_spark.streaming import stream_ordering_violations
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rng = random.Random(5)
+        rows = [("c1", i, f"2024-01-01T00:{i:02d}:00") for i in range(50)]
+        rng.shuffle(rows)  # arrival order is arbitrary
+        df = (spark.createDataFrame(
+                  rows, "conv_id string, turn_idx int, ts_s string")
+              .selectExpr("conv_id", "turn_idx",
+                          "CAST(ts_s AS TIMESTAMP) AS ts"))
+        src = f"{tmpdir}/src"
+        df.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = (stream_ordering_violations(stream)
+             .writeStream.format("memory").queryName("ord_chunks")
+             .option("checkpointLocation", f"{tmpdir}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = spark.sql("SELECT * FROM ord_chunks").collect()
+        assert got == []  # in-order conversation ⇒ no violations
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT 10: Iceberg write/read contract (no jar in sandbox — the
+# branch is exercised against the writeTo/read.table seam)
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_branch_contract():
+    from validify_spark.io.sources import (_is_iceberg_ref, read_table,
+                                           write_table)
+    assert _is_iceberg_ref("cat.db.audit")
+    assert not _is_iceberg_ref("/tmp/x/y")
+    assert not _is_iceberg_ref("relative_dir")
+
+    calls = []
+
+    class FakeWriter:
+        def append(self):
+            calls.append("append")
+
+        def createOrReplace(self):
+            calls.append("createOrReplace")
+
+    class FakeDF:
+        def writeTo(self, ref):
+            calls.append(("writeTo", ref))
+            return FakeWriter()
+
+    write_table(FakeDF(), "cat.db.audit", mode="append")
+    write_table(FakeDF(), "cat.db.audit", mode="overwrite")
+    assert calls == [("writeTo", "cat.db.audit"), "append",
+                     ("writeTo", "cat.db.audit"), "createOrReplace"]
+
+    class FakeReader:
+        def table(self, ref):
+            calls.append(("read.table", ref))
+            return "df"
+
+    class FakeSpark:
+        read = FakeReader()
+
+    assert read_table(FakeSpark(), "cat.db.turns") == "df"
+    assert calls[-1] == ("read.table", "cat.db.turns")

@@ -95,11 +95,14 @@ def _length_count(c: Column, dtype: Optional[T.DataType]) -> Column:
 
 
 def ok_and_params(rule: Rule, c: Column, dtype: Optional[T.DataType],
-                  run_ts: _dt.datetime):
+                  run_ts: _dt.datetime,
+                  schema: Optional[T.StructType] = None):
     """Return (ok_predicate, params_dict) for a rule applied to Column ``c``.
 
     ``ok`` is True ⇔ the value PASSES. NULL handling is applied by the
-    caller (compile_rule), not here.
+    caller (compile_rule), not here. ``schema`` (when available) lets
+    time rules detect string-typed target_columns that must parse at
+    runtime.
     """
     p = rule.params
     kind = rule.kind
@@ -199,7 +202,7 @@ def ok_and_params(rule: Rule, c: Column, dtype: Optional[T.DataType],
         return p["builder"](c), {"actual": c}
 
     if kind == "time":
-        return _time_ok(rule, c, run_ts)
+        return _time_ok(rule, c, run_ts, schema)
 
     raise ValueError(f"ok_and_params: unsupported kind {kind}")
 
@@ -211,17 +214,45 @@ def _coerce_target(p: dict) -> Optional[_dt.datetime]:
     return tgt
 
 
-def _time_ok(rule: Rule, c: Column, run_ts: _dt.datetime):
+def _time_string_target(rule: Rule,
+                        schema: Optional[T.StructType]) -> Optional[str]:
+    """The target_column's name iff it is string-typed (⇒ parsed at
+    runtime with the rule's format), else None."""
+    if rule.kind != "time" or schema is None:
+        return None
+    tc = rule.params.get("target_column")
+    if tc and isinstance(resolve_type(schema, tc), T.StringType):
+        return tc
+    return None
+
+
+def _parse_target_col(tc: str, fmt: Optional[str]) -> Column:
+    """Per-row runtime parse of a string target (NULL ⇔ unparseable) —
+    the table-lifted analog of chrono parse_from_str in
+    quote_time_with_target (tokens.rs:900-914)."""
+    return (F.try_to_timestamp(F.col(tc), F.lit(fmt)) if fmt
+            else F.try_to_timestamp(F.col(tc)))
+
+
+def _time_ok(rule: Rule, c: Column, run_ts: _dt.datetime,
+             schema: Optional[T.StructType] = None):
     """The 7 time ops (validify/src/validation/time.rs:3-87). All bound
     arithmetic is folded driver-side into literals (constant folding the
-    reference does at parse time, parser.rs:455-483)."""
+    reference does at parse time, parser.rs:455-483). String-typed
+    target_columns parse per row; an unparseable target is never proven
+    ok (the violation-side parse error lives in
+    _compile_time_string_target)."""
     p = rule.params
     op = p["op"]
     inclusive = bool(p.get("inclusive", False))
     dur = _dt.timedelta(seconds=p.get("interval_seconds", 0))
 
     if p.get("target_column"):
-        tlit: Column = F.col(p["target_column"])
+        if _time_string_target(rule, schema):
+            tlit: Column = _parse_target_col(p["target_column"],
+                                             p.get("format"))
+        else:
+            tlit = F.col(p["target_column"])
         tstr: Column = tlit
     else:
         t = _coerce_target(p)
@@ -253,7 +284,7 @@ def _time_ok(rule: Rule, c: Column, run_ts: _dt.datetime):
         if p.get("target_column"):
             # dynamic target: bounds as Column arithmetic with an
             # interval literal (the duration is still compile-time)
-            tcol = F.col(p["target_column"])
+            tcol = tlit
             shifted = tcol + F.make_dt_interval(
                 secs=F.lit(float(dur.total_seconds())))
             lo_c, hi_c = ((tcol, shifted) if dur >= _dt.timedelta(0)
@@ -271,6 +302,60 @@ def _time_ok(rule: Rule, c: Column, run_ts: _dt.datetime):
         return c.between(F.lit(lo), F.lit(hi)), {
             "actual": c, "from": F.lit(lo), "to": F.lit(hi)}
     raise ValueError(f"unknown time op {op}")
+
+
+def _compile_time_string_target(rule: Rule,
+                                run_ts: _dt.datetime) -> Column:
+    """Violation array for a time rule whose target_column is a STRING
+    parsed at runtime. Two failure flavors, mirroring the reference
+    (tokens.rs:738-747 quoted_parse_error + :900-914
+    quote_time_with_target):
+
+    - target unparseable (or NULL) under ``format`` ⇒ violation with
+      params {actual: <validated value>, format: <format>} — same code
+      as the op;
+    - target parses but the comparison fails ⇒ the normal violation
+      ({actual, target} / {actual, from, to}).
+
+    NULL validated value passes (Option semantics) — the reference
+    skips the whole check, parse included, for None fields."""
+    p = rule.params
+    tc, fmt = p["target_column"], p.get("format")
+    c = F.col(rule.column)
+    parsed = _parse_target_col(tc, fmt)
+    op = p["op"]
+    inclusive = bool(p.get("inclusive", False))
+    dur = _dt.timedelta(seconds=p.get("interval_seconds", 0))
+    field = rule.display_name or rule.column.split(".")[-1]
+
+    if op == "before":
+        cmp_ok = (c <= parsed) if inclusive else (c < parsed)
+        cmp_prm = {"actual": c, "target": parsed}
+    elif op == "after":
+        cmp_ok = (c >= parsed) if inclusive else (c > parsed)
+        cmp_prm = {"actual": c, "target": parsed}
+    elif op == "in_period":
+        shifted = parsed + F.make_dt_interval(
+            secs=F.lit(float(dur.total_seconds())))
+        lo, hi = ((parsed, shifted) if dur >= _dt.timedelta(0)
+                  else (shifted, parsed))
+        cmp_ok = c.between(lo, hi)
+        cmp_prm = {"actual": c, "from": lo, "to": hi}
+    else:
+        raise ValueError(
+            f"time op {op} does not take a target_column")
+
+    parse_viol = make_violation(
+        rule.rule_id, field, rule.location, rule.effective_code,
+        rule.message, {"actual": c, "format": F.lit(fmt)})
+    cmp_viol = make_violation(
+        rule.rule_id, field, rule.location, rule.effective_code,
+        rule.message, cmp_prm)
+    return (F.when(c.isNull(), empty_violations())
+            .when(parsed.isNull(),
+                  F.array(parse_viol).cast(VIOLATION_ARRAY_DDL))
+            .when(cmp_ok, empty_violations())
+            .otherwise(F.array(cmp_viol).cast(VIOLATION_ARRAY_DDL)))
 
 
 # ---------------------------------------------------------------------------
@@ -315,7 +400,7 @@ def pass_expr(rule: Rule, schema: T.StructType,
         return F.size(_compile_map_values(rule, schema, run_ts)) == 0
     c = F.col(rule.column)
     dtype = resolve_type(schema, rule.column)
-    ok, _ = ok_and_params(rule, c, dtype, run_ts)
+    ok, _ = ok_and_params(rule, c, dtype, run_ts, schema)
     if rule.kind == "required":
         return ok
     return c.isNull() | ok
@@ -339,10 +424,14 @@ def compile_rule(rule: Rule, schema: T.StructType,
         return _compile_iter(rule, schema, run_ts)
     if rule.kind == "map_values":
         return _compile_map_values(rule, schema, run_ts)
+    if _time_string_target(rule, schema):
+        # string targets parse at runtime; parse failure emits its own
+        # violation flavor (actual + format params)
+        return _compile_time_string_target(rule, run_ts)
 
     c = F.col(rule.column)
     dtype = resolve_type(schema, rule.column)
-    ok, prm = ok_and_params(rule, c, dtype, run_ts)
+    ok, prm = ok_and_params(rule, c, dtype, run_ts, schema)
 
     viol = make_violation(
         rule.rule_id, rule.display_name or rule.column.split(".")[-1],
@@ -506,4 +595,11 @@ def compile_schema_rule(rule: Rule, df) -> Column:
                           rule.message, {})
     one = F.array(viol).cast(VIOLATION_ARRAY_DDL)
     # a NULL predicate result counts as failure (unknown ⇒ not proven ok)
-    return F.when(ok, empty_violations()).otherwise(one)
+    out = F.when(ok, empty_violations()).otherwise(one)
+    # honor the variant gate in phase 2 exactly like pass_expr does in
+    # phase 1: a row of another variant that reached phase 2 by failing
+    # a DIFFERENT rule must not collect this variant's schema violation
+    g = _gate_expr(rule)
+    if g is not None:
+        out = F.when(g, out).otherwise(empty_violations())
+    return out

@@ -42,6 +42,16 @@ AUDIT_SCHEMA = ("run_id string, partition_id string, n_rows long, "
                 "wall_sec double")
 
 
+def _has_data_files(d: str) -> bool:
+    """True if the directory tree contains any parquet data file
+    (``part-*``) — distinguishes a legitimately-empty violations sink
+    (only ``_SUCCESS``) from one that should be readable."""
+    for _root, _dirs, files in os.walk(d):
+        if any(f.startswith("part-") for f in files):
+            return True
+    return False
+
+
 def _atomic_write_json(path: str, payload: dict) -> None:
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
@@ -59,20 +69,31 @@ class AuditedValidationRun:
                  run_id: str = "run1",
                  partition_expr: Optional[Column] = None,
                  n_buckets: int = 16,
-                 audit_table: Optional[str] = None):
+                 audit_table: Optional[str] = None,
+                 partition_domain: Optional[Sequence[str]] = None):
         """``audit_table``: optional Iceberg table identifier
         (``catalog.db.audit``) — lineage + metrics rows append there
         via the sources abstraction instead of the default parquet
         path under ``out_dir`` (north_rule: 'lineage + metrics rows
         written to an Iceberg audit table'; the sandbox has no Iceberg
         jar, so tests exercise the parquet route of the same code
-        path)."""
+        path).
+
+        ``partition_domain``: with a custom ``partition_expr``, the
+        explicit list of group values to plan (e.g. the date range of
+        the run). Without it, planning a custom expression requires a
+        ``distinct()`` scan of the input — a full pass over the table
+        at 10^12 rows, so callers at scale should always supply the
+        domain (the default hash-bucket path enumerates bucket ids and
+        never scans)."""
         self.engine = engine
         self.out_dir = out_dir.rstrip("/")
         self.run_id = run_id
         self.n_buckets = n_buckets
         self.partition_expr = partition_expr
         self.audit_table = audit_table
+        self.partition_domain = (sorted(str(p) for p in partition_domain)
+                                 if partition_domain is not None else None)
         os.makedirs(self._marker_dir, exist_ok=True)
 
     # -- layout -----------------------------------------------------------
@@ -109,6 +130,11 @@ class AuditedValidationRun:
         # full pass over the table
         if self.partition_expr is None:
             return sorted(str(i) for i in range(self.n_buckets))
+        if self.partition_domain is not None:
+            return list(self.partition_domain)
+        # fallback: enumerate by scanning — an explicit full pass over
+        # the input; acceptable for small/ad-hoc runs only (pass
+        # partition_domain at scale)
         return sorted(
             r["p"] for r in
             df.select(self._partition_col().alias("p")).distinct()
@@ -154,10 +180,14 @@ class AuditedValidationRun:
         spark = df.sparkSession
         started = dt.datetime.now(dt.timezone.utc)
         t0 = time.perf_counter()
-        normalized = self.engine.normalize(df)
-        src = (normalized
-               .withColumn("__pid", self._partition_col())
-               .filter(F.col("__pid").isin(pids)))
+        # __pid is computed on the RAW input, before modifiers run:
+        # planned_partitions/pending_partitions plan on the raw df, and
+        # a modifier touching a column referenced by partition_expr
+        # (e.g. trim on a category key) would otherwise shift rows into
+        # groups no planned marker ever commits
+        src = self.engine.normalize(
+            df.withColumn("__pid", self._partition_col())
+              .filter(F.col("__pid").isin(pids)))
 
         # scan 1: violations for every group in the batch, written in
         # one job partitioned by group id; dynamic overwrite touches
@@ -181,8 +211,12 @@ class AuditedValidationRun:
                         .collect()
         }
         # violation counts from the committed files (reads only the
-        # failing minority, partition-pruned to this batch)
-        try:
+        # failing minority, partition-pruned to this batch). The
+        # zero-violation case is detected EXPLICITLY (no data files in
+        # the dir) — a real read failure (corrupt file, transient IO,
+        # permissions) must fail the batch, not mint a passed=true
+        # marker that resume would never revisit.
+        if _has_data_files(self.violations_dir):
             vcounts = {
                 r["partition_id"]: r["n"]
                 for r in spark.read.parquet(self.violations_dir)
@@ -192,10 +226,9 @@ class AuditedValidationRun:
                               .alias("partition_id"))
                     .agg(F.count("*").alias("n")).collect()
             }
-        except Exception:  # noqa: BLE001
+        else:
             # an all-pass batch with no prior partitions leaves only
-            # _SUCCESS in the dir — unreadable as parquet, and
-            # correctly means zero violations everywhere
+            # _SUCCESS in the dir — correctly zero violations everywhere
             vcounts = {}
 
         finished = dt.datetime.now(dt.timezone.utc)

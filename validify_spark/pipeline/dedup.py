@@ -87,15 +87,22 @@ def _doc_sizes(sh: DataFrame, id_col: str) -> DataFrame:
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
                   threshold: float = 0.7,
-                  max_df: Optional[int] = 1000) -> DataFrame:
+                  max_df: Optional[int] = None) -> DataFrame:
     """All doc pairs with shingle-set Jaccard ≥ threshold.
 
     Output: id_a, id_b (id_a < id_b), intersection, size_a, size_b,
-    jaccard. ``max_df`` drops shingles present in more than max_df docs
-    (bounds the d² candidate blowup of hot shingles at corpus scale; the
-    default 1000 caps any shingle's pair contribution at ~500k while
-    leaving real near-dup evidence intact — docs sharing ONLY ubiquitous
-    shingles aren't near-dups). Pass ``max_df=None`` for exact behavior.
+    jaccard. Default is EXACT (max_df=None): every shingle participates,
+    so a clone cluster of any size surfaces in full. ``max_df`` is the
+    opt-in stop-shingle cap for corpus scale: shingles present in more
+    than max_df docs are dropped from the index (a shingle in d docs
+    contributes d² candidate pairs). When capping, set sizes AND
+    intersections are both computed over the surviving shingle universe,
+    so the Jaccard estimate is consistent (not downward-biased by
+    uncapped denominators) — but note a near-dup cluster larger than
+    max_df has ALL its shared shingles above the cap and will not
+    surface through this operator; route hot clusters through
+    exact_duplicates (clones) or minhash_lsh_pairs (banded buckets
+    don't blow up quadratically) instead.
 
     No persist: the exploded shingle relation is O(tokens) — far larger
     than the input at 100 TB — so instead of pinning it in executor
@@ -106,7 +113,6 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     already hash-partitioned on the join key)."""
     sh = word_shingles(df, id_col, text_col, n) \
         .repartition(F.col("shingle"))
-    sizes = _doc_sizes(sh, id_col)
     if max_df is not None:
         hot = (sh.groupBy("shingle")
                  .agg(F.count(F.lit(1)).alias("df"))
@@ -115,6 +121,9 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         sh_use = sh.join(F.broadcast(hot), "shingle", "left_anti")
     else:
         sh_use = sh
+    # sizes over the SAME shingle universe as the intersections —
+    # capped sizes keep the Jaccard ratio consistent under max_df
+    sizes = _doc_sizes(sh_use, id_col)
     a = sh_use.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh_use.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (a.join(b, "shingle")
@@ -268,7 +277,8 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  checkpoint_dir: Optional[str] = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Banded join: split the 64-bit fingerprint into 4 16-bit bands; any
@@ -276,15 +286,27 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     (pigeonhole), so candidates = same-band docs only — never all pairs.
     Verify with bit_count(xor) in pure SQL.
 
-    The fingerprint UDF runs ONCE: fp is localCheckpoint-ed (it's tiny —
-    one long per doc) so every band branch (4 bands × 2 join sides)
-    reads the materialized blocks instead of re-running the Arrow UDF
-    per branch. Exchange reuse alone doesn't dedupe here: PythonUDF
+    The fingerprint UDF runs ONCE: fp is materialized (it's tiny — one
+    long per doc) so every band branch (4 bands × 2 join sides) reads
+    the materialized blocks instead of re-running the Arrow UDF per
+    branch. Exchange reuse alone doesn't dedupe here: PythonUDF
     expressions don't canonicalize as equal, so the 8 exchange subtrees
     stay distinct (plan audit showed 16 UDF recomputations originally,
-    8 with a repartition, 1 with the checkpoint)."""
-    fp = simhash_fingerprints(df, id_col, text_col) \
-        .localCheckpoint(eager=False)
+    8 with a repartition, 1 with the checkpoint).
+
+    ``checkpoint_dir``: the cluster-scale path — fingerprints are
+    WRITTEN to storage (parquet) and read back, so lineage is fully
+    recoverable: a lost executor recomputes from the files. The default
+    localCheckpoint keeps blocks on executors only — fine locally and
+    in tests, but on a 40-hour 1000-executor run a lost executor fails
+    the job instead of recovering; pass a durable dir there."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    if checkpoint_dir is not None:
+        path = checkpoint_dir.rstrip("/") + "/simhash_fp"
+        fp.write.mode("overwrite").parquet(path)
+        fp = df.sparkSession.read.parquet(path)
+    else:
+        fp = fp.localCheckpoint(eager=False)
     bands = [
         (F.shiftrightunsigned(F.col("simhash"), 16 * b)
          .bitwiseAND(F.lit(0xFFFF))).alias(f"b{b}")

@@ -18,7 +18,6 @@ import random
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.window import Window
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -37,6 +36,44 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+def _topk_per_key(scored: DataFrame, key_col: str, id_col: str,
+                  k: int) -> DataFrame:
+    """Distributed exact top-k per key over a (key, id, cosine) relation.
+
+    NOT a per-key global window (Window.partitionBy(key) puts every
+    scored row of a key into ONE task — a single-partition reduce that
+    dies on a 10^9-row corpus). Instead: partial top-k per (key, input
+    partition) via a map-side sorted-slice aggregation — each scan
+    partition contributes at most |keys|·k survivors to the shuffle —
+    then a tiny final merge of (n_partitions · k) rows per key.
+
+    Ordering matches the window formulation exactly: cosine DESC, id ASC
+    tie-break (structs sort field-by-field, so (-cosine, id) ascending).
+    Memory note: the partial collect_list buffers one partition's rows
+    for one key before slicing — bounded by partition size, never by
+    corpus size.
+
+    Output: <key_col>, <id_col>, cosine (rounded 6), rank."""
+    item = F.struct((-F.col("cosine")).alias("__negcos"),
+                    F.col(id_col).alias("__id"),
+                    F.col("cosine").alias("__cos"))
+    part = (scored
+            .groupBy(key_col, F.spark_partition_id().alias("__p"))
+            .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k)
+                  .alias("__top")))
+    merged = (part
+              .groupBy(key_col)
+              .agg(F.slice(F.array_sort(
+                       F.flatten(F.collect_list("__top"))), 1, k)
+                    .alias("__top")))
+    return (merged
+            .select(key_col, F.posexplode("__top").alias("__pos", "__t"))
+            .select(key_col,
+                    F.col("__t.__id").alias(id_col),
+                    F.round(F.col("__t.__cos"), 6).alias("cosine"),
+                    (F.col("__pos") + 1).alias("rank")))
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id") -> DataFrame:
@@ -44,9 +81,10 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     Output: <query_id_col>, <id_col>, cosine, rank. Queries must be
     small (broadcast); corpus can be arbitrarily large — the join is a
-    broadcast nested loop over one corpus scan, then a per-query top-k
-    window on the (|queries|·|corpus|) scored rows. For big corpora use
-    lsh_ann_topk."""
+    broadcast nested loop over one corpus scan, and the top-k reduce is
+    a partial-per-partition sorted slice + merge (see _topk_per_key), so
+    no stage ever holds more than one scan partition's scores. For big
+    corpora prefer lsh_ann_topk (skips scoring most of the corpus)."""
     q = F.broadcast(queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec")))
@@ -55,12 +93,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .select(query_id_col, id_col,
                       cosine(F.col(vec_col), F.col("__qvec"))
                       .alias("cosine")))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc())
-    return (scored
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .withColumn("cosine", F.round("cosine", 6)))
+    return _topk_per_key(scored, query_id_col, id_col, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list:
@@ -80,20 +113,38 @@ def lsh_signature(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _resolve_n_planes(corpus: DataFrame,
+                      n_planes: Optional[int],
+                      corpus_size: Optional[int],
+                      target_bucket: int = 256) -> int:
+    """n_planes=None ⇒ scale planes with the corpus (n_planes_for), so
+    expected bucket size stays ~target_bucket as the corpus grows —
+    fixed plane counts only suit one corpus magnitude. ``corpus_size``
+    skips the count() scan when the caller already knows it (at 100 TB
+    pass the catalog's row count)."""
+    if n_planes is not None:
+        return n_planes
+    size = corpus_size if corpus_size is not None else corpus.count()
+    return n_planes_for(size, target_bucket)
+
+
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  query_id_col: str = "query_id", dim: int = 64,
-                 n_planes: int = 8, n_tables: int = 4,
-                 seed: int = 42) -> DataFrame:
+                 n_planes: Optional[int] = None, n_tables: int = 4,
+                 seed: int = 42,
+                 corpus_size: Optional[int] = None) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ≥1 of
     n_tables hyperplane tables; exact cosine re-rank inside buckets.
     Misses are possible (that's the trade) — recall grows with
-    n_tables and shrinks with n_planes.
+    n_tables and shrinks with n_planes. Default n_planes=None scales
+    the plane count with the corpus (see _resolve_n_planes).
 
     ONE corpus scan: all n_tables signatures are computed in a single
     projection and posexploded into (table, bucket) rows, instead of a
     union of per-table branches that each re-scan the corpus (at 100 TB
     the corpus scan dominates; the old shape cost n_tables scans)."""
+    n_planes = _resolve_n_planes(corpus, n_planes, corpus_size)
     all_planes = [_hyperplanes(dim, n_planes, seed * 1000 + t)
                   for t in range(n_tables)]
 
@@ -115,11 +166,7 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scored = cand.select(
         query_id_col, id_col,
         cosine(F.col(vec_col), F.col("__qvec")).alias("cosine"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .withColumn("cosine", F.round("cosine", 6)))
+    return _topk_per_key(scored, query_id_col, id_col, k)
 
 
 def n_planes_for(corpus_size: int, target_bucket: int = 256) -> int:
@@ -162,13 +209,15 @@ def ann_recall_at_k(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def cosine_self_pairs(corpus: DataFrame, threshold: float = 0.95,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      dim: int = 64, n_planes: int = 10,
+                      dim: int = 64, n_planes: Optional[int] = None,
                       n_tables: int = 4, seed: int = 42,
-                      exact: bool = False) -> DataFrame:
+                      exact: bool = False,
+                      corpus_size: Optional[int] = None) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold).
 
     exact=True does the full O(n²) self-join (small corpora / oracle
-    checks); default is LSH-bucketed candidates + exact verify."""
+    checks); default is LSH-bucketed candidates + exact verify, with
+    n_planes=None auto-scaled to the corpus (_resolve_n_planes)."""
     a = corpus.select(F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("__va"))
     b = corpus.select(F.col(id_col).alias("id_b"),
@@ -178,6 +227,7 @@ def cosine_self_pairs(corpus: DataFrame, threshold: float = 0.95,
     else:
         # one corpus scan: all tables' buckets in a single projection,
         # posexploded to (table, bucket); self-join on the pair
+        n_planes = _resolve_n_planes(corpus, n_planes, corpus_size)
         all_planes = [_hyperplanes(dim, n_planes, seed * 1000 + t)
                       for t in range(n_tables)]
         sig = corpus.select(

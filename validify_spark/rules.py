@@ -257,13 +257,15 @@ def time(column: str, op: str, target: Optional[Any] = None,
          **kw: Any) -> Rule:
     """Time constraint (the 7 ops of validify/src/validation/time.rs).
 
-    Documented divergence: string ``target`` values are parse-checked
-    at RuleSet build time (the sanity pass) and a bad target raises
-    RuleSpecError immediately — the reference defers the parse to
-    runtime and emits an error with actual+format params
-    (tokens.rs:740-747). Failing at build time is strictly earlier
-    feedback for the same misconfiguration; there is no per-row
-    runtime parse because targets are literals, never row data."""
+    String ``target`` LITERALS are parse-checked at RuleSet build time
+    (the sanity pass; a bad literal raises RuleSpecError immediately —
+    strictly earlier feedback than the reference's runtime error for
+    the same misconfiguration). A string-typed ``target_column``, by
+    contrast, is row data: it parses per row under ``format``
+    (Spark DateTimeFormatter pattern, e.g. 'yyyy-MM-dd HH:mm:ss'), and
+    an unparseable target emits a per-row violation carrying
+    actual+format params — the reference's runtime parse-error
+    semantics (tokens.rs:740-747)."""
     interval = (seconds + 60 * minutes + 3600 * hours + 86400 * days
                 + 604800 * weeks)
     return _mk(

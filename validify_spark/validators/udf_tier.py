@@ -14,7 +14,7 @@ import re
 import urllib.parse
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
@@ -154,7 +154,15 @@ def _phone_udf(s: pd.Series) -> pd.Series:
 
 
 def phone_ok(c: Column) -> Column:
-    return _phone_udf(c)
+    """Two-tier like email/url: a cheap codegen shape gate feeds the
+    Arrow UDF NULL for rows that can never validate. With no default
+    region, both backends require an explicit '+' country prefix —
+    phonenumbers.parse(v, None) raises INVALID_COUNTRY_CODE without one
+    (RFC3966 'phone-context=+CC' forms also contain '+'), and the E.164
+    fallback regex is anchored on '+' — so rows without '+' are decided
+    false in-scan and skip the Arrow hop entirely."""
+    return F.coalesce(_phone_udf(F.when(c.contains("+"), c)),
+                      F.lit(False))
 
 
 # ---------------------------------------------------------------------------
