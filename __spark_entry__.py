@@ -257,6 +257,28 @@ def q_time_now_ops(spark, sf_dir):
     return eng.violations(t).select("o_orderkey", "code", "location")
 
 
+def q_time_parse(spark, sf_dir):
+    """String-typed time target parsed at RUNTIME per row
+    (tokens.rs:740-747 + 900-914): unparseable/NULL targets emit a
+    violation carrying actual+format params; parseable targets get the
+    normal comparison with actual+target params."""
+    _load(spark, sf_dir, "orders")
+    t = spark.sql("""
+      SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
+        CASE WHEN o_orderkey % 11 = 0 THEN 'not a date'
+             WHEN o_orderkey % 7 = 0 THEN NULL
+             ELSE '1996-06-01 00:00:00' END AS deadline
+      FROM orders""")
+    rule = vs.time("ts", op="before", target_column="deadline",
+                   format="yyyy-MM-dd HH:mm:ss")
+    eng = vs.ValidationEngine(vs.RuleSet(rules=[rule]),
+                              key_cols=["o_orderkey"])
+    return eng.violations(t).selectExpr(
+        "o_orderkey", "code",
+        "params['format'] AS fmt", "params['target'] AS target",
+        "params['actual'] AS actual")
+
+
 def q_missing_column(spark, sf_dir):
     """Payload column-existence: a rule naming an absent column emits
     `required` per row instead of AnalysisException
@@ -316,6 +338,71 @@ def q_ip_v4(spark, sf_dir):
         vs.RuleSet(rules=[vs.ip("ip", format="v4")]),
         key_cols=["event_id"])
     return eng.violations(t).select("event_id", "code")
+
+
+# The reference's ip truth table (validify/src/validation/ip.rs:31-139),
+# verbatim: (case_id, kind, addr, expected). The oracle side is the
+# EXPECTED column keyed by case_id; the Spark side computes the verdicts
+# from the strings — a genuine cross-check of v4/v6/any semantics
+# (zone-id rejection, embedded-v4 tails, unicode digits, whitespace).
+_IP_TRUTH_TABLE = [
+    (1, "any", "1.1.1.1", True),
+    (2, "any", "255.0.0.0", True),
+    (3, "any", "0.0.0.0", True),
+    (4, "any", "256.1.1.1", False),
+    (5, "any", "25.1.1.", False),
+    (6, "any", "25,1,1,1", False),
+    (7, "any", "fe80::223:6cff:fe8a:2e8a", True),
+    (8, "any", "::ffff:254.42.16.14", True),
+    (9, "any", "2a02::223:6cff :fe8a:2e8a", False),
+    (10, "v4", "1.1.1.1", True),
+    (11, "v4", "255.0.0.0", True),
+    (12, "v4", "0.0.0.0", True),
+    (13, "v4", "256.1.1.1", False),
+    (14, "v4", "25.1.1.", False),
+    (15, "v4", "25,1,1,1", False),
+    (16, "v4", "25.1 .1.1", False),
+    (17, "v4", "1.1.1.1\n", False),
+    (18, "v4", "٧.2٥.3٣.243", False),
+    (19, "v6", "fe80::223:6cff:fe8a:2e8a", True),
+    (20, "v6", "2a02::223:6cff:fe8a:2e8a", True),
+    (21, "v6", "1::2:3:4:5:6:7", True),
+    (22, "v6", "::", True),
+    (23, "v6", "::a", True),
+    (24, "v6", "2::", True),
+    (25, "v6", "::ffff:254.42.16.14", True),
+    (26, "v6", "::ffff:0a0a:0a0a", True),
+    (27, "v6", "::254.42.16.14", True),
+    (28, "v6", "::0a0a:0a0a", True),
+    (29, "v6", "foo", False),
+    (30, "v6", "127.0.0.1", False),
+    (31, "v6", "12345::", False),
+    (32, "v6", "1::2::3::4", False),
+    (33, "v6", "1::zzz", False),
+    (34, "v6", "1:2", False),
+    (35, "v6", "fe80::223: 6cff:fe8a:2e8a", False),
+    (36, "v6", "2a02::223:6cff :fe8a:2e8a", False),
+    (37, "v6", "::ffff:999.42.16.14", False),
+    (38, "v6", "::ffff:zzzz:0a0a", False),
+]
+
+
+def q_ip_v6(spark, sf_dir):
+    """The full reference ip truth table (v4 + v6 + any) as a fixture;
+    one ip rule per format, gated by the case's kind column. Violations
+    are exactly the expected=false cases — the oracle replays the
+    reference's expected verdicts by case_id."""
+    rows = [(cid, kind, addr) for cid, kind, addr, _e in _IP_TRUTH_TABLE]
+    t = spark.createDataFrame(rows,
+                              "case_id int, kind string, addr string")
+    rules = vs.variant_rules("kind", {
+        "any": [vs.ip("addr")],
+        "v4": [vs.ip("addr", format="v4")],
+        "v6": [vs.ip("addr", format="v6")],
+    })
+    eng = vs.ValidationEngine(vs.RuleSet(rules=rules),
+                              key_cols=["case_id"])
+    return eng.violations(t).select("case_id", "code")
 
 
 def q_url(spark, sf_dir):
@@ -460,6 +547,39 @@ def q_modifiers(spark, sf_dir):
                                         vs.capitalize("seg")]),
         key_cols=["c_custkey"])
     return eng.normalize(t).select("c_custkey", "seg")
+
+
+def q_variant_modifiers(spark, sf_dir):
+    """Per-variant modifiers (derive_tests/tests/enum_validify.rs):
+    'O' rows uppercase the comment, 'F' rows capitalize it (first char
+    only), other variants untouched."""
+    _load(spark, sf_dir, "orders")
+    t = spark.sql("""
+      SELECT o_orderkey, o_orderstatus,
+             'order ' || lower(o_orderpriority) AS note
+      FROM orders""")
+    mods = vs.variant_modifiers("o_orderstatus", {
+        "O": [vs.uppercase("note")],
+        "F": [vs.capitalize("note")],
+    })
+    eng = vs.ValidationEngine(vs.RuleSet(rules=[], modifiers=mods),
+                              key_cols=["o_orderkey"])
+    return eng.normalize(t).select("o_orderkey", "note")
+
+
+def q_rename_all(spark, sf_dir):
+    """serde rename_all (with_serde.rs:55-79): violations carry the
+    camelCase field name in both field and location."""
+    t = (_load(spark, sf_dir, "customer")["customer"]
+         .selectExpr("c_custkey", "c_name AS customer_name",
+                     "c_acctbal AS account_balance"))
+    rules = vs.rename_all(
+        [vs.length("customer_name", min=1, max=17),
+         vs.range_("account_balance", min=0, max=9000)], "camelCase")
+    eng = vs.ValidationEngine(vs.RuleSet(rules=rules),
+                              key_cols=["c_custkey"])
+    return eng.violations(t).select("c_custkey", "code", "field",
+                                    "location")
 
 
 # ---------------------------------------------------------------------------
@@ -726,10 +846,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "must_match": q_must_match,
         "time_ops": q_time_ops,
         "time_now_ops": q_time_now_ops,
+        "time_parse": q_time_parse,
         "missing_column": q_missing_column,
         "variant_rules": q_variant_rules,
+        "variant_modifiers": q_variant_modifiers,
+        "rename_all": q_rename_all,
         "email": q_email,
         "ip_v4": q_ip_v4,
+        "ip_v6": q_ip_v6,
         "url": q_url,
         "phone": q_phone,
         "credit_card": q_credit_card,
@@ -789,6 +913,12 @@ sh AS (
 def oracle_sql() -> dict[str, str]:
     shingle_docs2 = _SHINGLES_CTE.format(docs=_DOCS2_SQL)
     shingle_docs = _SHINGLES_CTE.format(docs="SELECT doc_id, text FROM documents")
+    # the oracle for the ip truth table is the reference's EXPECTED
+    # verdict column (ip.rs:31-139), keyed by case_id — built from the
+    # same literal table the Spark side validates
+    ip_cases = ",\n            ".join(
+        f"({cid}, {'true' if exp else 'false'})"
+        for cid, _kind, _addr, exp in _IP_TRUTH_TABLE)
     return {
         "turns_validation": TURNS_RULESET_ORACLE,
 
@@ -897,6 +1027,59 @@ def oracle_sql() -> dict[str, str]:
           SELECT o_orderkey, 'range', '/o_totalprice' FROM orders
           WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
             AND NOT (o_totalprice >= 0 AND o_totalprice <= 150000)""",
+
+        "ip_v6": f"""
+          WITH cases(case_id, expected) AS (VALUES
+            {ip_cases})
+          SELECT case_id, 'ip' AS code FROM cases WHERE NOT expected""",
+
+        "variant_modifiers": """
+          WITH t AS (
+            SELECT o_orderkey, o_orderstatus,
+                   'order ' || lower(o_orderpriority) AS note
+            FROM orders)
+          SELECT o_orderkey,
+            CASE WHEN o_orderstatus = 'O' THEN upper(note)
+                 WHEN o_orderstatus = 'F' THEN
+                   upper(substr(note, 1, 1)) || substr(note, 2)
+                 ELSE note END AS note
+          FROM t""",
+
+        "rename_all": """
+          SELECT c_custkey, 'length' AS code,
+                 'customerName' AS field, '/customerName' AS location
+          FROM customer
+          WHERE c_name IS NOT NULL
+            AND NOT (length(c_name) >= 1 AND length(c_name) <= 17)
+          UNION ALL
+          SELECT c_custkey, 'range', 'accountBalance',
+                 '/accountBalance'
+          FROM customer
+          WHERE c_acctbal IS NOT NULL
+            AND NOT (CAST(c_acctbal AS DOUBLE) >= 0.0
+                     AND CAST(c_acctbal AS DOUBLE) <= 9000.0)""",
+
+        "time_parse": """
+          WITH t AS (
+            SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
+              CASE WHEN o_orderkey % 11 = 0 THEN 'not a date'
+                   WHEN o_orderkey % 7 = 0 THEN NULL
+                   ELSE '1996-06-01 00:00:00' END AS deadline
+            FROM orders)
+          -- parse failures (garbage or NULL target): actual+format
+          SELECT o_orderkey, 'before' AS code,
+                 'yyyy-MM-dd HH:mm:ss' AS fmt,
+                 CAST(NULL AS VARCHAR) AS target,
+                 CAST(ts AS VARCHAR) AS actual
+          FROM t WHERE ts IS NOT NULL
+            AND (o_orderkey % 11 = 0 OR o_orderkey % 7 = 0)
+          UNION ALL
+          -- parseable targets: normal comparison, actual+target
+          SELECT o_orderkey, 'before', CAST(NULL AS VARCHAR),
+                 '1996-06-01 00:00:00', CAST(ts AS VARCHAR)
+          FROM t WHERE ts IS NOT NULL
+            AND o_orderkey % 11 <> 0 AND o_orderkey % 7 <> 0
+            AND NOT (ts < TIMESTAMP '1996-06-01 00:00:00')""",
 
         "email": """
           SELECT c_custkey, 'email' AS code FROM customer
