@@ -27,6 +27,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Per-query regression budget vs the committed baseline: >25% drift on
+# a query slower than the noise floor gets flagged in the output JSON,
+# so a plan regression is distinguishable from host steal the moment
+# the bench runs (round-2 lesson: must_match drifted +29% and it took
+# a manual steal-vs-plan investigation to clear it).
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+REGRESSION_BUDGET = 0.25
+NOISE_FLOOR_SEC = 0.2  # sub-200ms queries drift ±50% on steal alone
+
+
+def _baseline_queries() -> dict:
+    try:
+        with open(BASELINE_PATH) as f:
+            b = json.load(f)
+        # baseline times are only comparable at the same scale factor
+        if b.get("sf") != _sf_of(SF_DIR):
+            return {}
+        return b.get("queries", {})
+    except Exception:  # noqa: BLE001 — no baseline ⇒ no flags
+        return {}
+
+
+def _flag_regressions(timings: dict, steals: dict = {}) -> dict:
+    """Queries >25% over baseline. Flags carry the per-query host
+    steal%% so a reader can separate plan regressions from co-tenant
+    waves (measured: a 9.8%%-steal wave makes identical passes 12x
+    slower — steal%% understates interference because the real
+    contention is memory bandwidth); flags with steal <= 1%% are the
+    ones to investigate."""
+    base = _baseline_queries()
+    out = {}
+    for name, sec in timings.items():
+        b = base.get(name)
+        if b is None or b < NOISE_FLOOR_SEC:
+            continue
+        if sec > b * (1 + REGRESSION_BUDGET):
+            out[name] = {"sec": sec, "baseline_sec": b,
+                         "ratio": round(sec / b, 2),
+                         "steal_pct": steals.get(name)}
+    return out
+
 HEADLINE = [
     "turns_validation", "must_match", "time_ops", "email",
     "stats_profile", "uniqueness", "drift", "ordering",
@@ -171,12 +213,15 @@ def run_bench() -> dict:
     # 3.5 s cold vs 1.4 s warm on identical data)
     for name in HEADLINE:
         qs[name](spark, "/root/testdata/sf0.001").count()
-    timings = {}
+    timings, steals = {}, {}
     for name in HEADLINE:
         fn = qs[name]
+        s0, j0 = _read_proc_stat()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        s1, j1 = _read_proc_stat()
+        steals[name] = round(100.0 * (s1 - s0) / max(j1 - j0, 1), 1)
     timings["gen_turns_validate_3m"] = median_sec
 
     spark.stop()
@@ -194,6 +239,9 @@ def run_bench() -> dict:
         "tput_warmup": warm,
         "tput_passes": measured,
         "cpus": CPUS,
+        "regression_budget_pct": int(REGRESSION_BUDGET * 100),
+        "regressions": _flag_regressions(timings, steals),
+        "query_steal_pct": steals,
     }
 
 

@@ -337,6 +337,41 @@ def test_stream_ordering_multi_chunk_group(spark, tmpdir):
 
 
 # ---------------------------------------------------------------------------
+# model plug-in seams for lang_id / quality_score (pandas_udf, like the
+# phone validator — the documented path to fastText/perplexity models)
+# ---------------------------------------------------------------------------
+
+
+def test_text_model_plugin_seams(spark):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from validify_spark.pipeline import lang_id, quality_score
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "der hund und die katze")],
+        "doc_id int, text string")
+
+    @pandas_udf("struct<pred_lang:string, lang_hits:bigint>")
+    def fake_model(s: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({
+            "pred_lang": ["xx"] * len(s),
+            "lang_hits": [int(len(t or "")) for t in s]})
+
+    got = {r["doc_id"]: (r["pred_lang"], r["lang_hits"])
+           for r in lang_id(df, classifier=fake_model).collect()}
+    assert got[1] == ("xx", 22) and got[2][0] == "xx"
+
+    @pandas_udf("double")
+    def fake_quality(s: pd.Series) -> pd.Series:
+        return pd.Series([0.5] * len(s))
+
+    q = quality_score(df, model_score=fake_quality).collect()
+    assert all(r["quality"] == 0.5 for r in q)
+    assert all(r["alpha_ratio"] > 0 for r in q)  # components remain
+
+
+# ---------------------------------------------------------------------------
 # VERDICT 10: Iceberg write/read contract (no jar in sandbox — the
 # branch is exercised against the writeTo/read.table seam)
 # ---------------------------------------------------------------------------

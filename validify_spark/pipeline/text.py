@@ -57,10 +57,18 @@ def token_stats(df: DataFrame, id_col: str = "doc_id",
 
 def quality_score(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
-                  stopwords: list | None = None) -> DataFrame:
+                  stopwords: list | None = None,
+                  model_score=None) -> DataFrame:
     """Heuristic document-quality components + composite score in [0,1]
     (length band, alpha ratio, punctuation ratio, stopword ratio,
     repetition) — the usual pretraining-corpus filters.
+
+    ``model_score`` is the production plug-in seam: a Column-builder
+    (an Arrow ``pandas_udf`` wrapping e.g. a perplexity filter or
+    learned quality model — the phone-validator pattern) mapping the
+    text Column to a double Column in [0,1]; when given it REPLACES the
+    composite ``quality`` column while the cheap SQL component columns
+    remain for debugging/ablation.
 
     Output: id, n_chars, alpha_ratio, punct_ratio, stopword_ratio,
     repetition_ratio, quality."""
@@ -81,10 +89,13 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
 
     length_ok = F.when((F.length(t) >= 50) & (F.length(t) <= 100000),
                        F.lit(1.0)).otherwise(F.lit(0.0))
-    quality = (0.3 * length_ok
-               + 0.3 * alpha_ratio
-               + 0.2 * F.least(stopword_ratio * 4, F.lit(1.0))
-               + 0.2 * (1.0 - repetition_ratio))
+    if model_score is not None:
+        quality = model_score(t)
+    else:
+        quality = (0.3 * length_ok
+                   + 0.3 * alpha_ratio
+                   + 0.2 * F.least(stopword_ratio * 4, F.lit(1.0))
+                   + 0.2 * (1.0 - repetition_ratio))
     return df.select(
         F.col(id_col),
         F.length(t).alias("n_chars"),
@@ -97,13 +108,29 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
+            text_col: str = "text",
+            classifier=None) -> DataFrame:
     """Marker-word language ID over LANG_MARKERS + a CJK-codepoint check
     for zh. Deterministic tie-break: highest hit-count wins, ties by
     language code order; 'und' when nothing matches.
 
+    ``classifier`` is the production plug-in seam: a Column-builder
+    (typically an Arrow ``pandas_udf`` wrapping a fastText-grade model,
+    exactly the phone-validator pattern in validators/udf_tier.py)
+    mapping the text Column to a
+    ``struct<pred_lang:string, lang_hits:bigint>`` Column. When given,
+    it replaces the heuristic and the rest of the pipeline (schema,
+    partitioning, downstream filters) is unchanged — the heuristic is
+    the dependency-free default, not a ceiling.
+
     Output: id, pred_lang, lang_hits."""
     t = F.col(text_col)
+    if classifier is not None:
+        s = classifier(t)
+        return df.select(
+            F.col(id_col),
+            s["pred_lang"].alias("pred_lang"),
+            s["lang_hits"].cast("long").alias("lang_hits"))
     words = _words(t)
     n_words = F.greatest(F.size(words), F.lit(1))
     scores = []
