@@ -257,6 +257,26 @@ def q_time_now_ops(spark, sf_dir):
     return eng.violations(t).select("o_orderkey", "code", "location")
 
 
+def q_time_date(spark, sf_dir):
+    """Date-typed column ⇒ the whole-day *_today/*_date variants
+    (time.rs:13-21, 51-61, 78-87), selected from the column type like
+    the reference's has_time=false macro branch. run_ts is midday so a
+    timestamp comparison would give different answers (today's date is
+    NOT before now.date(); a 36h from-now gap needs 2 whole days)."""
+    _load(spark, sf_dir, "orders")
+    t = spark.sql(
+        "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders")
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[
+            vs.time("d", op="before_now"),
+            vs.time("d", op="before_from_now", hours=36),
+            vs.time("d", op="in_period",
+                    target=dt.date(1995, 1, 1), hours=60),
+        ]),
+        key_cols=["o_orderkey"], run_ts=dt.datetime(1995, 6, 1, 12, 0))
+    return eng.violations(t).select("o_orderkey", "code")
+
+
 def q_time_parse(spark, sf_dir):
     """String-typed time target parsed at RUNTIME per row
     (tokens.rs:740-747 + 900-914): unparseable/NULL targets emit a
@@ -847,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_ops": q_time_ops,
         "time_now_ops": q_time_now_ops,
         "time_parse": q_time_parse,
+        "time_date": q_time_date,
         "missing_column": q_missing_column,
         "variant_rules": q_variant_rules,
         "variant_modifiers": q_variant_modifiers,
@@ -1058,6 +1079,25 @@ def oracle_sql() -> dict[str, str]:
           WHERE c_acctbal IS NOT NULL
             AND NOT (CAST(c_acctbal AS DOUBLE) >= 0.0
                      AND CAST(c_acctbal AS DOUBLE) <= 9000.0)""",
+
+        "time_date": """
+          WITH t AS (
+            SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+            FROM orders)
+          SELECT o_orderkey, 'before_now' AS code FROM t
+          WHERE d IS NOT NULL AND NOT (d < DATE '1995-06-01')
+          UNION ALL
+          -- (today - d) in whole days, >= 36h of seconds
+          SELECT o_orderkey, 'before_from_now' FROM t
+          WHERE d IS NOT NULL
+            AND NOT (date_diff('day', d, DATE '1995-06-01') * 86400
+                     >= 129600)
+          UNION ALL
+          -- 60h duration -> 2 whole days: period [1995-01-01, 01-03]
+          SELECT o_orderkey, 'in_period' FROM t
+          WHERE d IS NOT NULL
+            AND NOT (d BETWEEN DATE '1995-01-01'
+                     AND DATE '1995-01-03')""",
 
         "time_parse": """
           WITH t AS (

@@ -298,6 +298,58 @@ def test_time_string_target_in_period(spark):
 
 
 # ---------------------------------------------------------------------------
+# date-typed columns: the reference's *_today / *_date whole-day
+# variants (time.rs:13-21, 51-61, 78-87), selected from the column type
+# ---------------------------------------------------------------------------
+
+
+def test_time_date_column_whole_day_semantics(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-10"), (2, "2024-01-09"), (3, "2024-01-08"),
+         (4, "2024-01-11")],
+        "id long, d_s string").selectExpr("id", "CAST(d_s AS DATE) AS d")
+    run = dt.datetime(2024, 1, 10, 12, 0, 0)  # midday: the trap case
+    rules = [
+        vs.time("d", op="before_now"),               # before_today
+        vs.time("d", op="before_from_now", hours=36),  # *_from_now_date
+        vs.time("d", op="in_period", target=dt.date(2024, 1, 8),
+                hours=36),                           # in_period_date
+    ]
+    eng = ValidationEngine(vs.RuleSet(rules=rules), key_cols=["id"],
+                           run_ts=run)
+    got = {}
+    for r in eng.violations(df).collect():
+        got.setdefault(r["code"], set()).add(r["id"])
+    # before_today: d == today is NOT before (a timestamp comparison
+    # would wrongly pass midnight < 12:00)
+    assert got["before_now"] == {1, 4}
+    # (today - d) >= 36h needs a 2-day gap: only 2024-01-08 passes
+    assert got["before_from_now"] == {1, 2, 4}
+    # checked_add_signed drops sub-day parts: period = [01-08, 01-09]
+    assert got["in_period"] == {1, 4}
+
+
+def test_custom_rule_params_and_field_override(spark):
+    """ValidationError::with_param + new_field_named
+    (derive_tests/tests/custom.rs field-override case)."""
+    df = spark.createDataFrame([(1, 5), (2, 50)], "id long, v long")
+    r = vs.custom("v", lambda c: c < 10, code="meh",
+                  params={"limit": 10, "double": lambda c: c * 2},
+                  display_name="overriden")
+    eng = ValidationEngine(vs.RuleSet(rules=[r]), key_cols=["id"])
+    viol = eng.violations(df).collect()
+    assert len(viol) == 1
+    v = viol[0]
+    assert v["id"] == 2 and v["code"] == "meh"
+    assert v["field"] == "overriden" and v["location"] == "/overriden"
+    assert v["params"]["limit"] == "10"
+    assert v["params"]["double"] == "100"
+    assert v["params"]["actual"] == "50"
+
+
+# ---------------------------------------------------------------------------
 # ADVICE 5: streaming ordering sorts the whole group, not per chunk
 # ---------------------------------------------------------------------------
 

@@ -199,10 +199,16 @@ def ok_and_params(rule: Rule, c: Column, dtype: Optional[T.DataType],
         return V.credit_card_ok(c), {"actual": c}
 
     if kind == "custom":
-        return p["builder"](c), {"actual": c}
+        # caller-supplied violation params (ValidationError::with_param,
+        # derive_tests/tests/custom.rs field-override case): values are
+        # literals or Column-builders evaluated against the column
+        prm = {"actual": c}
+        for k, v in (p.get("params") or {}).items():
+            prm[k] = v(c) if callable(v) else F.lit(v)
+        return p["builder"](c), prm
 
     if kind == "time":
-        return _time_ok(rule, c, run_ts, schema)
+        return _time_ok(rule, c, run_ts, schema, dtype)
 
     raise ValueError(f"ok_and_params: unsupported kind {kind}")
 
@@ -235,13 +241,17 @@ def _parse_target_col(tc: str, fmt: Optional[str]) -> Column:
 
 
 def _time_ok(rule: Rule, c: Column, run_ts: _dt.datetime,
-             schema: Optional[T.StructType] = None):
+             schema: Optional[T.StructType] = None,
+             dtype: Optional[T.DataType] = None):
     """The 7 time ops (validify/src/validation/time.rs:3-87). All bound
     arithmetic is folded driver-side into literals (constant folding the
     reference does at parse time, parser.rs:455-483). String-typed
     target_columns parse per row; an unparseable target is never proven
     ok (the violation-side parse error lives in
-    _compile_time_string_target)."""
+    _compile_time_string_target). Date-typed columns route to the
+    whole-day *_date/*_today variants."""
+    if isinstance(dtype, T.DateType):
+        return _time_ok_date(rule, c, run_ts, schema)
     p = rule.params
     op = p["op"]
     inclusive = bool(p.get("inclusive", False))
@@ -304,8 +314,78 @@ def _time_ok(rule: Rule, c: Column, run_ts: _dt.datetime,
     raise ValueError(f"unknown time op {op}")
 
 
-def _compile_time_string_target(rule: Rule,
-                                run_ts: _dt.datetime) -> Column:
+def _time_ok_date(rule: Rule, c: Column, run_ts: _dt.datetime,
+                  schema: Optional[T.StructType] = None):
+    """Date-typed columns use the reference's *_date / *_today variants
+    (time.rs:13-21, 31-37, 51-61, 78-87) — the reference selects them
+    at macro time from the field type (has_time=false); we select from
+    the column's Spark type. Whole-day semantics: now truncates to its
+    date, from-now ops compare day-diffs (in seconds) against the full
+    duration, and in_period adds only the WHOLE DAYS of the duration
+    (NaiveDate::checked_add_signed drops sub-day parts)."""
+    p = rule.params
+    op = p["op"]
+    inclusive = bool(p.get("inclusive", False))
+    dur = _dt.timedelta(seconds=p.get("interval_seconds", 0))
+    dur_secs = dur.total_seconds()
+    run_date = run_ts.date()
+
+    if p.get("target_column"):
+        if _time_string_target(rule, schema):
+            tlit: Column = F.to_date(_parse_target_col(
+                p["target_column"], p.get("format")))
+        else:
+            tlit = F.col(p["target_column"])
+    else:
+        t = _coerce_target(p)
+        if isinstance(t, _dt.datetime):
+            t = t.date()  # before_date/after_date take date targets
+        tlit = F.lit(t) if t is not None else None
+
+    if op == "before":
+        ok = (c <= tlit) if inclusive else (c < tlit)
+        return ok, {"actual": c, "target": tlit}
+    if op == "after":
+        ok = (c >= tlit) if inclusive else (c > tlit)
+        return ok, {"actual": c, "target": tlit}
+    if op in ("before_now", "after_now"):
+        lim = F.lit(run_date)  # before_today/after_today (time.rs:13-21)
+        if op == "before_now":
+            ok = (c <= lim) if inclusive else (c < lim)
+        else:
+            ok = (c >= lim) if inclusive else (c > lim)
+        return ok, {"actual": c, "target": lim}
+    if op == "before_from_now":
+        # today - actual >= duration, day-diff in seconds (time.rs:51-57)
+        ok = (F.datediff(F.lit(run_date), c).cast("long") * 86400
+              >= F.lit(dur_secs))
+        return ok, {"actual": c, "target": F.lit(run_date)}
+    if op == "after_from_now":
+        ok = (F.datediff(c, F.lit(run_date)).cast("long") * 86400
+              >= F.lit(dur_secs))
+        return ok, {"actual": c, "target": F.lit(run_date)}
+    if op == "in_period":
+        dur_days = int(dur_secs / 86400)  # trunc toward 0 = num_days
+        if p.get("target_column"):
+            end = F.date_add(tlit, dur_days)
+            lo_c, hi_c = ((tlit, end) if dur_days >= 0 else (end, tlit))
+            return c.between(lo_c, hi_c), {
+                "actual": c, "from": lo_c, "to": hi_c}
+        t = _coerce_target(p)
+        if isinstance(t, _dt.datetime):
+            t = t.date()
+        try:
+            end_d = t + _dt.timedelta(days=dur_days)
+        except OverflowError:
+            return F.lit(False), {"actual": c, "target": F.lit(str(t))}
+        lo, hi = ((t, end_d) if dur_days >= 0 else (end_d, t))
+        return c.between(F.lit(lo), F.lit(hi)), {
+            "actual": c, "from": F.lit(lo), "to": F.lit(hi)}
+    raise ValueError(f"unknown time op {op}")
+
+
+def _compile_time_string_target(rule: Rule, run_ts: _dt.datetime,
+                                schema=None) -> Column:
     """Violation array for a time rule whose target_column is a STRING
     parsed at runtime. Two failure flavors, mirroring the reference
     (tokens.rs:738-747 quoted_parse_error + :900-914
@@ -318,11 +398,17 @@ def _compile_time_string_target(rule: Rule,
       ({actual, target} / {actual, from, to}).
 
     NULL validated value passes (Option semantics) — the reference
-    skips the whole check, parse included, for None fields."""
+    skips the whole check, parse included, for None fields. A
+    date-typed rule column truncates the parsed target to a date and
+    uses whole-day in_period arithmetic (the *_date variants)."""
     p = rule.params
     tc, fmt = p["target_column"], p.get("format")
     c = F.col(rule.column)
     parsed = _parse_target_col(tc, fmt)
+    is_date = (schema is not None and isinstance(
+        resolve_type(schema, rule.column), T.DateType))
+    if is_date:
+        parsed = F.to_date(parsed)
     op = p["op"]
     inclusive = bool(p.get("inclusive", False))
     dur = _dt.timedelta(seconds=p.get("interval_seconds", 0))
@@ -335,10 +421,16 @@ def _compile_time_string_target(rule: Rule,
         cmp_ok = (c >= parsed) if inclusive else (c > parsed)
         cmp_prm = {"actual": c, "target": parsed}
     elif op == "in_period":
-        shifted = parsed + F.make_dt_interval(
-            secs=F.lit(float(dur.total_seconds())))
-        lo, hi = ((parsed, shifted) if dur >= _dt.timedelta(0)
-                  else (shifted, parsed))
+        if is_date:
+            dur_days = int(dur.total_seconds() / 86400)
+            shifted = F.date_add(parsed, dur_days)
+            lo, hi = ((parsed, shifted) if dur_days >= 0
+                      else (shifted, parsed))
+        else:
+            shifted = parsed + F.make_dt_interval(
+                secs=F.lit(float(dur.total_seconds())))
+            lo, hi = ((parsed, shifted) if dur >= _dt.timedelta(0)
+                      else (shifted, parsed))
         cmp_ok = c.between(lo, hi)
         cmp_prm = {"actual": c, "from": lo, "to": hi}
     else:
@@ -427,7 +519,7 @@ def compile_rule(rule: Rule, schema: T.StructType,
     if _time_string_target(rule, schema):
         # string targets parse at runtime; parse failure emits its own
         # violation flavor (actual + format params)
-        return _compile_time_string_target(rule, run_ts)
+        return _compile_time_string_target(rule, run_ts, schema)
 
     c = F.col(rule.column)
     dtype = resolve_type(schema, rule.column)

@@ -241,13 +241,21 @@ def must_match(column: str, other: str, **kw: Any) -> Rule:
     return _mk("must_match", column, {"other": other}, **kw)
 
 
-def custom(column: str, builder: Callable, **kw: Any) -> Rule:
+def custom(column: str, builder: Callable,
+           params: Optional[dict] = None, **kw: Any) -> Rule:
     """``builder`` is ``Column -> Column(bool)`` — True means pass.
 
     Preferred custom-rule form: stays in Catalyst (§2.9). For checks that
     need Python libs pass a pandas_udf-wrapped builder.
-    """
-    return _mk("custom", column, {"builder": builder}, **kw)
+
+    ``params``: extra violation params (with_param,
+    derive_tests/tests/custom.rs): {name: literal or Column-builder};
+    builders are called with the rule's column. ``display_name``
+    renames the violation field/location (new_field_named analog)."""
+    p: dict = {"builder": builder}
+    if params:
+        p["params"] = dict(params)
+    return _mk("custom", column, p, **kw)
 
 
 def time(column: str, op: str, target: Optional[Any] = None,
