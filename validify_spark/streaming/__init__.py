@@ -1,5 +1,6 @@
+from .dedup import stream_exact_dedup
 from .validate import (stream_ordering_violations,
                        stream_partition_metrics, stream_violations)
 
 __all__ = ["stream_violations", "stream_partition_metrics",
-           "stream_ordering_violations"]
+           "stream_ordering_violations", "stream_exact_dedup"]
