@@ -178,23 +178,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     Output: id_a, id_b, jaccard (exact, ≥ threshold)."""
     rows = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    # ONE signature scan: all bands' bucket hashes in a single
+    # projection, posexploded to (band, bucket) rows; the self-join on
+    # (band, bucket) replaces the old union of per-band branches that
+    # each re-derived the signature relation (same single-scan shape as
+    # the ANN tables, commit d31f6a3)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
-        band_cols.append(F.md5(F.concat_ws("|", *cols)).alias(f"band{b}"))
-    sig_b = sig.select(id_col, *band_cols)
-
-    cands = None
-    for b in range(bands):
-        left = sig_b.select(F.col(id_col).alias("id_a"),
-                            F.col(f"band{b}").alias("bucket"))
-        right = sig_b.select(F.col(id_col).alias("id_b"),
-                             F.col(f"band{b}").alias("bucket"))
-        c = (left.join(right, "bucket")
+        band_cols.append(F.md5(F.concat_ws("|", *cols)))
+    sig_b = sig.select(
+        id_col, F.posexplode(F.array(*band_cols)).alias("__b", "bucket"))
+    left = sig_b.select(F.col(id_col).alias("id_a"), "__b", "bucket")
+    right = sig_b.select(F.col(id_col).alias("id_b"), "__b", "bucket")
+    cands = (left.join(right, ["__b", "bucket"])
              .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b"))
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
+             .select("id_a", "id_b")
+             .distinct())
 
     # exact-verify candidates (cheap: |candidates| << all pairs)
     sh = word_shingles(df, id_col, text_col, n)
@@ -307,26 +307,24 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
         fp = df.sparkSession.read.parquet(path)
     else:
         fp = fp.localCheckpoint(eager=False)
-    bands = [
-        (F.shiftrightunsigned(F.col("simhash"), 16 * b)
-         .bitwiseAND(F.lit(0xFFFF))).alias(f"b{b}")
+    # ONE fingerprint scan: the 4 band values in a single posexploded
+    # projection, self-joined on (band, bucket) — replaces the union of
+    # 4 per-band branches (8 scans of fp) with 2 scans of one relation
+    bands = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+         .bitwiseAND(F.lit(0xFFFF))
         for b in range(4)
-    ]
-    fb = fp.select(id_col, "simhash", *bands)
-
-    cands = None
-    for b in range(4):
-        left = fb.select(F.col(id_col).alias("id_a"),
-                         F.col("simhash").alias("sh_a"),
-                         F.col(f"b{b}").alias("bucket"))
-        right = fb.select(F.col(id_col).alias("id_b"),
-                          F.col("simhash").alias("sh_b"),
-                          F.col(f"b{b}").alias("bucket"))
-        c = (left.join(right, "bucket")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sh_a", "sh_b"))
-        cands = c if cands is None else cands.unionByName(c)
-    return (cands.distinct()
+    ])
+    fb = fp.select(id_col, "simhash",
+                   F.posexplode(bands).alias("__b", "bucket"))
+    left = fb.select(F.col(id_col).alias("id_a"),
+                     F.col("simhash").alias("sh_a"), "__b", "bucket")
+    right = fb.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("sh_b"), "__b", "bucket")
+    return (left.join(right, ["__b", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+            .distinct()
             .withColumn("hamming", F.bit_count(
                 F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
             .filter(F.col("hamming") <= max_hamming)
