@@ -569,6 +569,29 @@ def q_modifiers(spark, sf_dir):
     return eng.normalize(t).select("c_custkey", "seg")
 
 
+def q_nested_modifiers(spark, sf_dir):
+    """Modifiers on nested paths: struct subfield (trim+capitalize
+    chain via withField), array<string> elements (per-element trim via
+    transform), and a flat uppercase — the golden chain of
+    modify.rs:89-126 lifted into nested shapes (fields.rs:400-434)."""
+    _load(spark, sf_dir, "customer")
+    t = spark.sql("""
+      SELECT c_custkey,
+        named_struct(
+          'name', '  ' || lower(c_name) || ' ',
+          'segs', array(' ' || c_mktsegment || ' ', 'KEEP ')) AS info,
+        'mIxEd-' || lower(c_mktsegment) AS seg2
+      FROM customer""")
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[], modifiers=[
+            vs.trim("info.name"), vs.capitalize("info.name"),
+            vs.trim("info.segs"), vs.uppercase("seg2")]),
+        key_cols=["c_custkey"])
+    return eng.normalize(t).selectExpr(
+        "c_custkey", "info.name AS name",
+        "info.segs[0] AS seg0", "info.segs[1] AS seg1", "seg2")
+
+
 def q_variant_modifiers(spark, sf_dir):
     """Per-variant modifiers (derive_tests/tests/enum_validify.rs):
     'O' rows uppercase the comment, 'F' rows capitalize it (first char
@@ -871,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missing_column": q_missing_column,
         "variant_rules": q_variant_rules,
         "variant_modifiers": q_variant_modifiers,
+        "nested_modifiers": q_nested_modifiers,
         "rename_all": q_rename_all,
         "email": q_email,
         "ip_v4": q_ip_v4,
@@ -1053,6 +1077,15 @@ def oracle_sql() -> dict[str, str]:
           WITH cases(case_id, expected) AS (VALUES
             {ip_cases})
           SELECT case_id, 'ip' AS code FROM cases WHERE NOT expected""",
+
+        "nested_modifiers": """
+          SELECT c_custkey,
+            upper(substr(trim(lower(c_name)), 1, 1))
+              || substr(trim(lower(c_name)), 2) AS name,
+            c_mktsegment AS seg0,
+            'KEEP' AS seg1,
+            'MIXED-' || upper(c_mktsegment) AS seg2
+          FROM customer""",
 
         "variant_modifiers": """
           WITH t AS (

@@ -27,6 +27,18 @@ def test_stats_profile_exact(spark):
     assert v["q50"] == 20.0
 
 
+def test_stats_profile_sketch_quantile_bounds(spark):
+    # GK sketch (percentile_approx default accuracy 10000 ⇒ rank error
+    # ≤ n/10000): on uniform 0..10000 each quantile is within ~1% —
+    # the error-bound evidence for the no_oracle sketch query
+    from validify_spark.checks import stats_profile
+    df = spark.range(10001).selectExpr("CAST(id AS DOUBLE) AS v")
+    p = {r["column"]: r for r in stats_profile(df, ["v"]).collect()}
+    assert abs(p["v"]["q25"] - 2500) <= 110
+    assert abs(p["v"]["q50"] - 5000) <= 110
+    assert abs(p["v"]["q75"] - 7500) <= 110
+
+
 def test_stats_profile_sketch_close(spark):
     df = spark.range(0, 10000).withColumn("v", F.col("id") % 1000)
     p = {r["column"]: r for r in stats_profile(df, ["v"]).collect()}
