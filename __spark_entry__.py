@@ -738,6 +738,19 @@ def q_dedup_jaccard(spark, sf_dir):
     return jaccard_pairs(docs2, n=3, threshold=0.8, max_df=1000)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the jaccard near-dup pairs: each doc
+    gets cluster_id = min doc id of its component (hash-min label
+    propagation; the oracle computes the same fixpoint with a
+    recursive CTE)."""
+    from validify_spark.pipeline import duplicate_clusters
+    _load(spark, sf_dir, "documents")
+    docs2 = spark.sql(_DOCS2_SQL) \
+        .repartition(spark.sparkContext.defaultParallelism)
+    pairs = jaccard_pairs(docs2, n=3, threshold=0.8, max_df=1000)
+    return duplicate_clusters(pairs)
+
+
 def q_minhash_signatures(spark, sf_dir):
     t = (_load(spark, sf_dir, "documents")["documents"]
          .repartition(spark.sparkContext.defaultParallelism))
@@ -920,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordering": q_ordering,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_signatures": q_minhash_signatures,
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
@@ -953,6 +967,38 @@ sh AS (
            i -> array_to_string(w[i:i+2], ' ')))) AS shingle
   FROM words)
 """
+
+
+# jaccard CTE chain, shared by the dedup_jaccard and dedup_clusters
+# oracles — mirror jaccard_pairs(max_df=1000): hot shingles are dropped
+# from the inverted-index join AND from the set sizes, so the Jaccard
+# ratio is consistent over the surviving universe
+_JACCARD_CTES = """{sh},
+          sh_use AS (
+            SELECT doc_id, shingle FROM sh
+            WHERE shingle NOT IN (
+              SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(*) > 1000)),
+          sizes AS (SELECT doc_id, count(*) AS set_size FROM sh_use
+                    GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS intersection
+            FROM sh_use a JOIN sh_use b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"""
+
+_JACCARD_SELECT = """
+          SELECT id_a, id_b, intersection,
+                 sa.set_size AS size_a, sb.set_size AS size_b,
+                 round(intersection
+                       / (sa.set_size + sb.set_size - intersection), 6)
+                   AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(intersection
+                      / (sa.set_size + sb.set_size - intersection), 6)
+                >= 0.8"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1383,34 +1429,25 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, canonical_id, text_hash, group_size
           FROM g WHERE group_size > 1""",
 
-        "dedup_jaccard": f"""
-          WITH {shingle_docs2},
-          -- mirror jaccard_pairs(max_df=1000): hot shingles are dropped
-          -- from the inverted-index join AND from the set sizes, so the
-          -- Jaccard ratio is consistent over the surviving universe
-          sh_use AS (
-            SELECT doc_id, shingle FROM sh
-            WHERE shingle NOT IN (
-              SELECT shingle FROM sh GROUP BY shingle
-              HAVING count(*) > 1000)),
-          sizes AS (SELECT doc_id, count(*) AS set_size FROM sh_use
-                    GROUP BY doc_id),
-          inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   count(*) AS intersection
-            FROM sh_use a JOIN sh_use b USING (shingle)
-            WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-          SELECT id_a, id_b, intersection,
-                 sa.set_size AS size_a, sb.set_size AS size_b,
-                 round(intersection
-                       / (sa.set_size + sb.set_size - intersection), 6)
-                   AS jaccard
-          FROM inter
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE round(intersection
-                      / (sa.set_size + sb.set_size - intersection), 6)
-                >= 0.8""",
+        "dedup_jaccard": f"WITH {_JACCARD_CTES.format(sh=shingle_docs2)}"
+                         f"\n          {_JACCARD_SELECT}",
+
+        # connected components over the jaccard pairs: the recursive
+        # CTE computes full reachability (fine at oracle scale); the
+        # Spark side is hash-min label propagation — same fixpoint
+        "dedup_clusters": f"""
+          WITH RECURSIVE {_JACCARD_CTES.format(sh=shingle_docs2)},
+          pairs AS ({_JACCARD_SELECT}),
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs),
+          reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src""",
 
         "minhash_signatures": f"""
           WITH {shingle_docs}

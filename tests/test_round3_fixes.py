@@ -137,6 +137,22 @@ def test_jaccard_capped_sizes_are_consistent(spark):
     assert p["intersection"] == p["size_a"] == p["size_b"]
 
 
+def test_duplicate_clusters_components(spark):
+    """Hash-min label propagation finds each component's min id,
+    including multi-hop chains."""
+    from validify_spark.pipeline import duplicate_clusters
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5),       # chain 1-2-3-4-5
+         (10, 11),                             # pair
+         (20, 21), (21, 22), (20, 22)],        # triangle
+        "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
 # ---------------------------------------------------------------------------
 # VERDICT 1: cosine_topk = partial top-k per partition + merge
 # ---------------------------------------------------------------------------

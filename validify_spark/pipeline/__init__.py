@@ -7,6 +7,7 @@ higher-order functions; numpy/Arrow UDFs only for simhash bit math and
 the stubbed media decoders."""
 
 from .dedup import (
+    duplicate_clusters,
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -20,7 +21,7 @@ from .similarity import (ann_recall_at_k, cosine_self_pairs, cosine_topk,
 from .text import fingerprint, lang_id, quality_score, token_stats
 
 __all__ = [
-    "exact_duplicates", "word_shingles", "jaccard_pairs",
+    "exact_duplicates", "duplicate_clusters", "word_shingles", "jaccard_pairs",
     "minhash_signatures", "minhash_lsh_pairs", "simhash_fingerprints",
     "simhash_pairs", "cosine_topk", "cosine_self_pairs", "lsh_ann_topk",
     "ann_recall_at_k", "n_planes_for",

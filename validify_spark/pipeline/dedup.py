@@ -145,6 +145,60 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# dup-pair clustering (connected components)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b",
+                       max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: cluster_id = min doc
+    id in the component — the "keep one representative per duplicate
+    cluster" step that follows any pair generator (jaccard_pairs,
+    minhash_lsh_pairs, simhash_pairs, cosine_self_pairs).
+
+    Hash-min label propagation: each round every node takes the min
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds (near-dup clusters are dense, so diameter is
+    small). Each round is one join + one partial-aggregated groupBy on
+    the node id; labels are localCheckpoint-ed per round to keep the
+    lineage flat (an iterative plan would otherwise grow exponentially)
+    — at cluster scale swap for reliable checkpoint/storage like
+    simhash_pairs(checkpoint_dir=). Driver loop with an early-exit
+    convergence count — the standard Spark shape for iterative graph
+    algorithms.
+
+    Output: doc_id, cluster_id (only docs that appear in a pair)."""
+    edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+             .unionByName(pairs.select(F.col(id_b).alias("a"),
+                                       F.col(id_a).alias("b")))
+             .distinct())
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iter):
+        nbr_min = (edges
+                   .join(labels.select(F.col("id").alias("b"),
+                                       F.col("label").alias("nl")), "b")
+                   .groupBy("a").agg(F.min("nl").alias("mn")))
+        new = (labels
+               .join(nbr_min, labels["id"] == nbr_min["a"], "left")
+               .select(F.col("id"),
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("mn"), F.col("label")))
+                        .alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
