@@ -61,13 +61,22 @@ def _flag_regressions(timings: dict, steals: dict = {}) -> dict:
     out = {}
     for name, sec in timings.items():
         b = base.get(name)
-        if b is None or b < NOISE_FLOOR_SEC:
+        if b is None:
+            continue  # new queries are listed in baseline_missing
+        # the noise floor applies to the NEW time: a sub-floor baseline
+        # that regresses to above the floor must still flag
+        if sec <= NOISE_FLOOR_SEC:
             continue
         if sec > b * (1 + REGRESSION_BUDGET):
             out[name] = {"sec": sec, "baseline_sec": b,
                          "ratio": round(sec / b, 2),
                          "steal_pct": steals.get(name)}
     return out
+
+
+def _baseline_missing(timings: dict) -> list:
+    base = _baseline_queries()
+    return sorted(n for n in timings if n not in base)
 
 HEADLINE = [
     "turns_validation", "must_match", "time_ops", "email",
@@ -241,6 +250,7 @@ def run_bench() -> dict:
         "cpus": CPUS,
         "regression_budget_pct": int(REGRESSION_BUDGET * 100),
         "regressions": _flag_regressions(timings, steals),
+        "baseline_missing": _baseline_missing(timings),
         "query_steal_pct": steals,
     }
 

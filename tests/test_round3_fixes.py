@@ -137,6 +137,85 @@ def test_jaccard_capped_sizes_are_consistent(spark):
     assert p["intersection"] == p["size_a"] == p["size_b"]
 
 
+def test_duplicate_clusters_long_chain_converges(spark):
+    """Pointer jumping: a 31-node chain (diameter 30) must converge to
+    ONE component within the default max_iter (hash-min alone walks one
+    hop per round and would split it)."""
+    from validify_spark.pipeline import duplicate_clusters
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                  "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 31
+
+
+def test_cosine_topk_null_embedding_not_ranked(spark):
+    """NULL cosine (NULL embedding) must not occupy a rank — struct
+    sort would otherwise put it at rank 1."""
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (3, None)],
+        "vec_id int, embedding array<double>")
+    queries = spark.createDataFrame([(0, [1.0, 0.0])],
+                                    "query_id int, embedding array<double>")
+    rows = cosine_topk(corpus, queries, k=2).collect()
+    assert [r["vec_id"] for r in rows] == [0, 1]
+    assert all(r["cosine"] is not None for r in rows)
+
+
+def test_time_date_timestamp_target_column_truncates(spark):
+    """A timestamp-typed target_column against a date column gets the
+    same whole-day truncation as literal/string targets."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-05", "2024-01-05 10:00:00")],
+        "id long, d_s string, t_s string").selectExpr(
+        "id", "CAST(d_s AS DATE) AS d", "CAST(t_s AS TIMESTAMP) AS t")
+    rule = vs.time("d", op="before", target_column="t")
+    eng = ValidationEngine(vs.RuleSet(rules=[rule]), key_cols=["id"])
+    # d == target date ⇒ NOT before (whole-day): one violation, and
+    # phase-1/phase-2 agree (the row must actually surface)
+    assert [r["id"] for r in eng.violations(df).collect()] == [1]
+
+
+def test_now_ops_reject_targets():
+    """Now-relative ops take no target — rejected at build time so the
+    two evaluation phases can never disagree about it."""
+    import pytest as _pytest
+
+    from validify_spark.rules import RuleSpecError
+    with _pytest.raises(RuleSpecError):
+        vs.RuleSet(rules=[vs.time("ts", op="before_from_now", hours=1,
+                                  target_column="note")])
+    with _pytest.raises(RuleSpecError):
+        vs.RuleSet(rules=[vs.time("ts", op="after_now",
+                                  target="2024-01-01 00:00:00",
+                                  format="%Y-%m-%d %H:%M:%S")])
+
+
+def test_bench_floor_applies_to_new_time(tmpdir):
+    import json
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    old = bench.BASELINE_PATH, bench.SF_DIR
+    try:
+        bench.BASELINE_PATH = f"{tmpdir}/base.json"
+        bench.SF_DIR = "/x/sf0.1"
+        with open(bench.BASELINE_PATH, "w") as f:
+            json.dump({"sf": 0.1, "queries": {"tiny": 0.15,
+                                              "big": 2.0}}, f)
+        flags = bench._flag_regressions({"tiny": 7.5, "big": 2.1,
+                                         "brand_new": 9.9})
+        assert "tiny" in flags          # sub-floor baseline, 50x slower
+        assert "big" not in flags       # within budget
+        assert bench._baseline_missing({"brand_new": 9.9,
+                                        "big": 2.1}) == ["brand_new"]
+    finally:
+        bench.BASELINE_PATH, bench.SF_DIR = old
+
+
 def test_duplicate_clusters_components(spark):
     """Hash-min label propagation finds each component's min id,
     including multi-hop chains."""

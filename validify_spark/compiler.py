@@ -223,8 +223,12 @@ def _coerce_target(p: dict) -> Optional[_dt.datetime]:
 def _time_string_target(rule: Rule,
                         schema: Optional[T.StructType]) -> Optional[str]:
     """The target_column's name iff it is string-typed (⇒ parsed at
-    runtime with the rule's format), else None."""
+    runtime with the rule's format), else None. Only the three
+    target-taking ops qualify (the RuleSet sanity pass rejects targets
+    on now-relative ops)."""
     if rule.kind != "time" or schema is None:
+        return None
+    if rule.params.get("op") not in ("before", "after", "in_period"):
         return None
     tc = rule.params.get("target_column")
     if tc and isinstance(resolve_type(schema, tc), T.StringType):
@@ -335,7 +339,10 @@ def _time_ok_date(rule: Rule, c: Column, run_ts: _dt.datetime,
             tlit: Column = F.to_date(_parse_target_col(
                 p["target_column"], p.get("format")))
         else:
-            tlit = F.col(p["target_column"])
+            # truncate timestamp-typed targets to dates too — same
+            # whole-day semantics as literal/string targets (a
+            # date-typed target column passes through to_date unchanged)
+            tlit = F.to_date(F.col(p["target_column"]))
     else:
         t = _coerce_target(p)
         if isinstance(t, _dt.datetime):

@@ -157,16 +157,20 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     cluster" step that follows any pair generator (jaccard_pairs,
     minhash_lsh_pairs, simhash_pairs, cosine_self_pairs).
 
-    Hash-min label propagation: each round every node takes the min
-    label among itself and its neighbors; converges in O(component
-    diameter) rounds (near-dup clusters are dense, so diameter is
-    small). Each round is one join + one partial-aggregated groupBy on
-    the node id; labels are localCheckpoint-ed per round to keep the
-    lineage flat (an iterative plan would otherwise grow exponentially)
-    — at cluster scale swap for reliable checkpoint/storage like
+    Hash-min label propagation WITH pointer jumping: each round every
+    node takes the min label among itself and its neighbors, then
+    shortcuts to its label's label (label(label)) — the propagation
+    distance roughly doubles per round, so convergence is
+    O(log diameter) and max_iter=20 covers components with diameters
+    in the millions. Each round is a couple of joins + one
+    partial-aggregated groupBy on the node id; labels are
+    localCheckpoint-ed per round to keep the lineage flat (an
+    iterative plan would otherwise grow exponentially) — at cluster
+    scale swap for reliable checkpoint/storage like
     simhash_pairs(checkpoint_dir=). Driver loop with an early-exit
-    convergence count — the standard Spark shape for iterative graph
-    algorithms.
+    convergence count; raises RuntimeError if the loop exhausts
+    without converging (a silently split cluster would quietly keep
+    duplicates downstream).
 
     Output: doc_id, cluster_id (only docs that appear in a pair)."""
     edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -185,6 +189,16 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                .select(F.col("id"),
                        F.least(F.col("label"),
                                F.coalesce(F.col("mn"), F.col("label")))
+                        .alias("label")))
+        # pointer jumping: label <- min(label, label(label))
+        lbl2 = new.select(F.col("id").alias("__lid"),
+                          F.col("label").alias("__l2"))
+        new = (new
+               .join(lbl2, new["label"] == lbl2["__lid"], "left")
+               .select(F.col("id"),
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("__l2"),
+                                          F.col("label")))
                         .alias("label"))
                .localCheckpoint(eager=True))
         changed = (new.alias("n")
@@ -194,6 +208,12 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         labels = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} "
+            "rounds — raise max_iter (components of diameter "
+            f"> ~2^{max_iter} are implausible for near-dup graphs; "
+            "check the pair generator)")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

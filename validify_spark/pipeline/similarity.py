@@ -47,17 +47,20 @@ def _topk_per_key(scored: DataFrame, key_col: str, id_col: str,
     partition contributes at most |keys|·k survivors to the shuffle —
     then a tiny final merge of (n_partitions · k) rows per key.
 
-    Ordering matches the window formulation exactly: cosine DESC, id ASC
-    tie-break (structs sort field-by-field, so (-cosine, id) ascending).
-    Memory note: the partial collect_list buffers one partition's rows
-    for one key before slicing — bounded by partition size, never by
-    corpus size.
+    Ordering: cosine DESC, id ASC tie-break (structs sort
+    field-by-field, so (-cosine, id) ascending). NULL cosines (e.g. a
+    NULL embedding in the corpus) are dropped BEFORE ranking — struct
+    sort would otherwise place null ahead of every value and a NULL row
+    would take rank 1 from a real neighbor. Memory note: the partial
+    collect_list buffers one partition's rows for one key before
+    slicing — bounded by partition size, never by corpus size.
 
     Output: <key_col>, <id_col>, cosine (rounded 6), rank."""
     item = F.struct((-F.col("cosine")).alias("__negcos"),
                     F.col(id_col).alias("__id"),
                     F.col("cosine").alias("__cos"))
     part = (scored
+            .filter(F.col("cosine").isNotNull())
             .groupBy(key_col, F.spark_partition_id().alias("__p"))
             .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k)
                   .alias("__top")))
@@ -124,6 +127,10 @@ def _resolve_n_planes(corpus: DataFrame,
     pass the catalog's row count)."""
     if n_planes is not None:
         return n_planes
+    # NOTE: without corpus_size this runs corpus.count() EAGERLY (a
+    # real Spark job at plan-construction time — cheap count-star over
+    # parquet metadata, but a job nonetheless). At 10^9+ rows always
+    # pass corpus_size (the catalog row count).
     size = corpus_size if corpus_size is not None else corpus.count()
     return n_planes_for(size, target_bucket)
 
@@ -192,6 +199,10 @@ def ann_recall_at_k(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Output: <query_id_col>, n_exact, n_hits, recall_at_k."""
     exact = cosine_topk(corpus, queries, k, id_col, vec_col,
                         query_id_col).select(query_id_col, id_col)
+    if "n_planes" not in lsh_kwargs and "corpus_size" not in lsh_kwargs:
+        # resolve the auto plane count ONCE here instead of letting
+        # lsh_ann_topk re-count the corpus on every invocation
+        lsh_kwargs = dict(lsh_kwargs, corpus_size=corpus.count())
     approx = lsh_ann_topk(corpus, queries, k, id_col, vec_col,
                           query_id_col, **lsh_kwargs) \
         .select(query_id_col, id_col)

@@ -511,6 +511,13 @@ class RuleSet:
         if op in ("before", "after"):
             if p.get("target") is None and p.get("target_column") is None:
                 raise RuleSpecError(f"time {op}: need target")
+        if op in ("before_now", "after_now", "before_from_now",
+                  "after_from_now"):
+            # now-relative ops take no target (reference parser has no
+            # target slot for them) — reject instead of silently
+            # ignoring, so both evaluation phases agree by construction
+            if p.get("target") is not None or p.get("target_column"):
+                raise RuleSpecError(f"time {op}: does not take a target")
         if op in ("before_from_now", "after_from_now"):
             # negative/zero duration rejected at parse (validation.rs:351-369)
             if interval <= 0:
