@@ -143,3 +143,83 @@ def test_url_two_tier_matches_full_python(spark, strings):
              .collect()}
     for i, s in enumerate(strings):
         assert got[i] == _is_url(s), repr(s)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_clusters vs a Python union-find on random graphs
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40))
+                .filter(lambda e: e[0] != e[1]),
+                min_size=1, max_size=60))
+def test_duplicate_clusters_matches_union_find(spark, edges):
+    from validify_spark.pipeline import duplicate_clusters
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(df).collect()}
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# date-typed time ops vs pure-Python whole-day reference (time.rs
+# *_today / *_date semantics)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(st.dates(min_value=__import__("datetime").date(2020, 1, 1),
+                         max_value=__import__("datetime").date(2028, 1, 1)),
+                min_size=1, max_size=40),
+       st.integers(1, 200))
+def test_date_time_ops_parity(spark, dates, dur_hours):
+    import datetime as dt
+
+    import validify_spark as vs
+    from validify_spark.engine import ValidationEngine
+
+    run = dt.datetime(2024, 6, 15, 13, 37)  # midday on purpose
+    rules = [
+        vs.time("d", op="before_now"),
+        vs.time("d", op="before_from_now", hours=dur_hours),
+        vs.time("d", op="after_from_now", hours=dur_hours),
+    ]
+    eng = ValidationEngine(vs.RuleSet(rules=rules), key_cols=["i"],
+                           run_ts=run)
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(dates)],
+                               "i int, d date")
+    got = {}
+    for r in eng.violations(df).collect():
+        got.setdefault(r["i"], set()).add(r["code"])
+
+    today = run.date()
+    dur = dt.timedelta(hours=dur_hours)
+    for i, d in enumerate(dates):
+        exp = set()
+        if not (d < today):                          # before_today
+            exp.add("before_now")
+        if not ((today - d) >= dur):                 # before_from_now_date
+            exp.add("before_from_now")
+        if not ((d - today) >= dur):                 # after_from_now_date
+            exp.add("after_from_now")
+        assert got.get(i, set()) == exp, (d, dur_hours)
