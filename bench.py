@@ -63,13 +63,14 @@ def _flag_regressions(timings: dict, steals: dict = {}) -> dict:
         b = base.get(name)
         if b is None:
             continue  # new queries are listed in baseline_missing
-        # the noise floor applies to the NEW time: a sub-floor baseline
-        # that regresses to above the floor must still flag
-        if sec <= NOISE_FLOOR_SEC:
-            continue
-        if sec > b * (1 + REGRESSION_BUDGET):
+        # threshold floors the BASELINE at the noise floor: a sub-floor
+        # baseline that regresses far above the floor still flags
+        # (0.15 -> 7.5 does), while sub-floor jitter around the floor
+        # does not (0.19 -> 0.24 doesn't); a zero baseline can't
+        # divide-by-zero the ratio
+        if sec > max(b, NOISE_FLOOR_SEC) * (1 + REGRESSION_BUDGET):
             out[name] = {"sec": sec, "baseline_sec": b,
-                         "ratio": round(sec / b, 2),
+                         "ratio": round(sec / b, 2) if b > 0 else None,
                          "steal_pct": steals.get(name)}
     return out
 

@@ -212,6 +212,13 @@ def test_bench_floor_applies_to_new_time(tmpdir):
         assert "big" not in flags       # within budget
         assert bench._baseline_missing({"brand_new": 9.9,
                                         "big": 2.1}) == ["brand_new"]
+        # sub-floor jitter around the floor must NOT flag
+        with open(bench.BASELINE_PATH, "w") as f:
+            json.dump({"sf": 0.1, "queries": {"jit": 0.19,
+                                              "zero": 0.0}}, f)
+        flags2 = bench._flag_regressions({"jit": 0.24, "zero": 0.5})
+        assert "jit" not in flags2
+        assert flags2["zero"]["ratio"] is None  # no div-by-zero
     finally:
         bench.BASELINE_PATH, bench.SF_DIR = old
 

@@ -179,17 +179,25 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
              .distinct())
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .withColumn("label", F.col("id")))
-    for _ in range(max_iter):
+    converged = False
+    # max_iter productive rounds + one extra: proving the fixpoint
+    # costs a zero-change round, and labels that stabilize ON the last
+    # productive round are still a correct result
+    for _ in range(max_iter + 1):
         nbr_min = (edges
                    .join(labels.select(F.col("id").alias("b"),
                                        F.col("label").alias("nl")), "b")
                    .groupBy("a").agg(F.min("nl").alias("mn")))
+        # checkpoint the hash-min result BEFORE the pointer-jump
+        # self-join — both join sides read the materialized blocks
+        # instead of re-running the join/aggregate subplan
         new = (labels
                .join(nbr_min, labels["id"] == nbr_min["a"], "left")
                .select(F.col("id"),
                        F.least(F.col("label"),
                                F.coalesce(F.col("mn"), F.col("label")))
-                        .alias("label")))
+                        .alias("label"))
+               .localCheckpoint(eager=True))
         # pointer jumping: label <- min(label, label(label))
         lbl2 = new.select(F.col("id").alias("__lid"),
                           F.col("label").alias("__l2"))
@@ -207,8 +215,9 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                    .count())
         labels = new
         if changed == 0:
+            converged = True
             break
-    else:
+    if not converged:
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iter} "
             "rounds — raise max_iter (components of diameter "

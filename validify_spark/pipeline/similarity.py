@@ -199,10 +199,6 @@ def ann_recall_at_k(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Output: <query_id_col>, n_exact, n_hits, recall_at_k."""
     exact = cosine_topk(corpus, queries, k, id_col, vec_col,
                         query_id_col).select(query_id_col, id_col)
-    if "n_planes" not in lsh_kwargs and "corpus_size" not in lsh_kwargs:
-        # resolve the auto plane count ONCE here instead of letting
-        # lsh_ann_topk re-count the corpus on every invocation
-        lsh_kwargs = dict(lsh_kwargs, corpus_size=corpus.count())
     approx = lsh_ann_topk(corpus, queries, k, id_col, vec_col,
                           query_id_col, **lsh_kwargs) \
         .select(query_id_col, id_col)
