@@ -785,6 +785,52 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(t, n=3)
 
 
+# deterministic PII injection shared by both sides of the redaction
+# check — every pattern class fires on a quarter of the docs
+_PII_DOCS_SQL = """
+  SELECT doc_id,
+    text || CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN ' contact bob' || CAST(doc_id AS STRING)
+                  || '@example.com now'
+      WHEN 1 THEN ' server 10.1.2.' || CAST(doc_id % 250 AS STRING)
+                  || ' up'
+      WHEN 2 THEN ' call +1415555'
+                  || CAST(1000 + doc_id % 9000 AS STRING) || ' today'
+      ELSE ' acct 4111111111111'
+           || CAST(100 + doc_id % 900 AS STRING) || ' closed'
+    END AS text
+  FROM documents"""
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrub pass (emails/IPv4/+phones/card-length digit runs →
+    typed placeholders) — chained regexp_replace, pure codegen; the
+    oracle chains the identical regexes (built from the same
+    PII_PATTERNS list) in DuckDB."""
+    from validify_spark.pipeline import redact_pii
+    _load(spark, sf_dir, "documents")
+    t = spark.sql(_PII_DOCS_SQL)
+    return redact_pii(t)
+
+
+def _redact_oracle_sql() -> str:
+    from validify_spark.pipeline.text import PII_PATTERNS
+    expr = "text"
+    for _n, rx, tok in PII_PATTERNS:
+        rxs = rx.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{rxs}', '{tok}', 'g')"
+    counts = " + ".join(
+        f"(length(ct) - length(replace(ct, '{tok}', ''))) / {len(tok)}"
+        for _n, _rx, tok in PII_PATTERNS)
+    return f"""
+      WITH src AS ({_PII_DOCS_SQL}),
+      red AS (SELECT doc_id, {expr} AS ct FROM src)
+      SELECT doc_id, ct AS clean_text,
+             CASE WHEN ct IS NULL THEN 0
+                  ELSE CAST({counts} AS INT) END AS n_redactions
+      FROM red"""
+
+
 def q_cosine_topk(spark, sf_dir):
     t = _load(spark, sf_dir, "embeddings")["embeddings"]
     queries = (t.filter("vec_id < 3")
@@ -940,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "redact_pii": q_redact_pii,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
@@ -1628,6 +1675,8 @@ def oracle_sql() -> dict[str, str]:
                    i -> md5(array_to_string(words[i:i+2], ' '))))
                    AS shingle_fingerprint
           FROM w""",
+
+        "redact_pii": _redact_oracle_sql(),
 
         "cosine_topk": """
           WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings

@@ -496,6 +496,27 @@ def test_stream_ordering_multi_chunk_group(spark, tmpdir):
 # ---------------------------------------------------------------------------
 
 
+def test_redact_pii_each_class(spark):
+    from validify_spark.pipeline import redact_pii
+    df = spark.createDataFrame(
+        [(1, "mail bob@site.example.com ok"),
+         (2, "host 192.168.0.17 down"),
+         (3, "dial +1 (415) 555-0100 now"),
+         (4, "card 4111111111111111 used"),
+         (5, "clean text with no pii"),
+         (6, None)],
+        "doc_id int, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["clean_text"] == "mail <EMAIL> ok"
+    assert got[2]["clean_text"] == "host <IP> down"
+    assert got[3]["clean_text"] == "dial <PHONE> now"
+    assert got[4]["clean_text"] == "card <NUMBER> used"
+    assert got[5]["clean_text"] == "clean text with no pii"
+    assert got[6]["clean_text"] is None and got[6]["n_redactions"] == 0
+    assert all(got[i]["n_redactions"] == 1 for i in (1, 2, 3, 4))
+    assert got[5]["n_redactions"] == 0
+
+
 def test_text_model_plugin_seams(spark):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

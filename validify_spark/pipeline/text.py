@@ -154,6 +154,57 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# Redaction patterns: deliberately simple, backref/lookaround-free so
+# Java (Spark) and RE2-family engines (DuckDB oracle) agree byte-for-
+# byte. Heuristic by design — a scrub pass trades precision for recall.
+PII_PATTERNS = [
+    # email (HTML5-ish user@domain with at least one dot in the domain)
+    ("email", r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@"
+              r"[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+              r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+",
+     "<EMAIL>"),
+    # ipv4 (strict octets, word-bounded)
+    ("ip", r"\b(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+           r"(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9]))"
+           r"{3}\b",
+     "<IP>"),
+    # international phone: + then 8-15 digits with optional separators
+    ("phone", r"\+[0-9][0-9 ().-]{6,18}[0-9]", "<PHONE>"),
+    # candidate card/account numbers: 13-19 digit runs
+    ("number", r"\b[0-9]{13,19}\b", "<NUMBER>"),
+]
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               patterns=None) -> DataFrame:
+    """PII scrub pass: replace emails / IPv4s / +international phones /
+    long digit runs with typed placeholder tokens — the standard
+    pretraining-corpus redaction step, entirely in codegen (chained
+    regexp_replace, one scan, zero Python). Patterns apply in order
+    (email before phone so user@host digits aren't half-eaten);
+    ``patterns`` overrides the default [(name, regex, token), ...].
+
+    Output: <id_col>, clean_text, n_redactions (count of placeholder
+    tokens inserted)."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    t = F.col(text_col)
+    for _name, rx, token in pats:
+        t = F.regexp_replace(t, rx, token)
+    n_red = F.lit(0)
+    for _name, _rx, token in pats:
+        # occurrences of each placeholder in the final text
+        n_red = n_red + F.when(
+            F.col(text_col).isNull(), F.lit(0)
+        ).otherwise(
+            (F.length(t) - F.length(F.replace(t, F.lit(token), F.lit(""))))
+            / F.length(F.lit(token)))
+    return df.select(
+        F.col(id_col),
+        t.alias("clean_text"),
+        n_red.cast("int").alias("n_redactions"))
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", n: int = 3) -> DataFrame:
     """Content fingerprints: md5 of the normalized text (exact identity)
