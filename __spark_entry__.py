@@ -694,6 +694,19 @@ def q_drift(spark, sf_dir):
     return drift_report(cur, base)
 
 
+def q_drift_length(spark, sf_dir):
+    """Text-LENGTH histogram drift (north_star names 'text-length
+    histograms' explicitly): fixed-width char-length buckets over the
+    documents table, even vs odd doc ids."""
+    from validify_spark.checks import length_histogram
+    t = _load(spark, sf_dir, "documents")["documents"]
+    cur = length_histogram(t.filter("doc_id % 2 = 0"), "text",
+                           bucket_size=50)
+    base = length_histogram(t.filter("doc_id % 2 = 1"), "text",
+                            bucket_size=50)
+    return drift_report(cur, base)
+
+
 def q_ordering(spark, sf_dir):
     """Ordering invariants over a derived sequence (dup idx at 3→2,
     gap at 4→5; ts naturally out of order vs linenumber)."""
@@ -976,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_profile": q_stats_profile,
         "stats_profile_sketch": q_stats_profile_sketch,
         "drift": q_drift,
+        "drift_length": q_drift_length,
         "ordering": q_ordering,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1418,6 +1432,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(CAST(o_orderpriority AS STRING), '__null__')
                      AS bucket, count(*) AS n
             FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+          basep AS (SELECT bucket,
+                           n / (SELECT sum(n) FROM base) AS p FROM base),
+          j AS (
+            SELECT coalesce(c.p, 0.0) AS p, coalesce(b.p, 0.0) AS q
+            FROM curp c FULL OUTER JOIN basep b USING (bucket))
+          SELECT
+            round(sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+                  * ln(greatest(p, 1e-6) / greatest(q, 1e-6))), 6) AS psi,
+            round(sum(CASE WHEN p > 0 THEN greatest(p, 1e-6)
+                  * ln(greatest(p, 1e-6) / greatest(q, 1e-6))
+                  ELSE 0.0 END), 6) AS kl,
+            count(*) AS n_buckets,
+            round(max(abs(p - q)), 6) AS max_abs_diff
+          FROM j""",
+
+        "drift_length": """
+          WITH cur AS (
+            SELECT coalesce(CAST(CAST(floor(length(text) / 50) AS BIGINT)
+                                 AS STRING), '__null__') AS bucket,
+                   count(*) AS n
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+          curp AS (SELECT bucket,
+                          n / (SELECT sum(n) FROM cur) AS p FROM cur),
+          base AS (
+            SELECT coalesce(CAST(CAST(floor(length(text) / 50) AS BIGINT)
+                                 AS STRING), '__null__') AS bucket,
+                   count(*) AS n
+            FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
           basep AS (SELECT bucket,
                            n / (SELECT sum(n) FROM base) AS p FROM base),
           j AS (
