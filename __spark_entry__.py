@@ -829,19 +829,21 @@ def q_redact_pii(spark, sf_dir):
 def _redact_oracle_sql() -> str:
     from validify_spark.pipeline.text import PII_PATTERNS
     expr = "text"
+    count_terms = []
     for _n, rx, tok in PII_PATTERNS:
         rxs = rx.replace("'", "''")
+        # count matches on the text AS IT STOOD before this pattern
+        # applied — exact replacement count, like regexp_count on the
+        # Spark side (pre-existing placeholder-looking text never
+        # inflates it)
+        count_terms.append(
+            f"coalesce(len(regexp_extract_all({expr}, '{rxs}')), 0)")
         expr = f"regexp_replace({expr}, '{rxs}', '{tok}', 'g')"
-    counts = " + ".join(
-        f"(length(ct) - length(replace(ct, '{tok}', ''))) / {len(tok)}"
-        for _n, _rx, tok in PII_PATTERNS)
     return f"""
-      WITH src AS ({_PII_DOCS_SQL}),
-      red AS (SELECT doc_id, {expr} AS ct FROM src)
-      SELECT doc_id, ct AS clean_text,
-             CASE WHEN ct IS NULL THEN 0
-                  ELSE CAST({counts} AS INT) END AS n_redactions
-      FROM red"""
+      WITH src AS ({_PII_DOCS_SQL})
+      SELECT doc_id, {expr} AS clean_text,
+             CAST({' + '.join(count_terms)} AS INT) AS n_redactions
+      FROM src"""
 
 
 def q_cosine_topk(spark, sf_dir):

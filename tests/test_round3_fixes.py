@@ -517,6 +517,28 @@ def test_redact_pii_each_class(spark):
     assert got[5]["n_redactions"] == 0
 
 
+def test_redact_pii_count_edge_cases(spark):
+    from validify_spark.pipeline import redact_pii
+    df = spark.createDataFrame(
+        [(1, "already scrubbed <EMAIL> stays"),   # pre-existing token
+         (2, "raised +1 000 000 in funding"),     # 7 digits: not a phone
+         (3, "a@b.example and c@d.example")],     # two redactions
+        "doc_id int, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    # pre-existing placeholder text is NOT counted as a redaction
+    assert got[1]["n_redactions"] == 0
+    assert got[1]["clean_text"] == "already scrubbed <EMAIL> stays"
+    # digit-counted phone bound: 7 digits is not E.164
+    assert got[2]["clean_text"] == "raised +1 000 000 in funding"
+    assert got[3]["n_redactions"] == 2
+    # shared tokens across custom patterns don't multi-count
+    shared = [("a", r"aaa", "<PII>"), ("b", r"bbb", "<PII>")]
+    out = redact_pii(
+        spark.createDataFrame([(1, "x aaa y")], "doc_id int, text string"),
+        patterns=shared).collect()[0]
+    assert out["n_redactions"] == 1 and out["clean_text"] == "x <PII> y"
+
+
 def test_text_model_plugin_seams(spark):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

@@ -168,8 +168,10 @@ PII_PATTERNS = [
            r"(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9]))"
            r"{3}\b",
      "<IP>"),
-    # international phone: + then 8-15 digits with optional separators
-    ("phone", r"\+[0-9][0-9 ().-]{6,18}[0-9]", "<PHONE>"),
+    # international phone: + then 8-15 digits (E.164 bound), each digit
+    # optionally followed by up to two separator chars — digit-counted,
+    # so '+1 000 000' (7 digits) is not a phone
+    ("phone", r"\+(?:[0-9][ ().-]{0,2}){7,14}[0-9]", "<PHONE>"),
     # candidate card/account numbers: 13-19 digit runs
     ("number", r"\b[0-9]{13,19}\b", "<NUMBER>"),
 ]
@@ -185,20 +187,18 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id",
     (email before phone so user@host digits aren't half-eaten);
     ``patterns`` overrides the default [(name, regex, token), ...].
 
-    Output: <id_col>, clean_text, n_redactions (count of placeholder
-    tokens inserted)."""
+    Output: <id_col>, clean_text, n_redactions (exact count of
+    replacements performed — pre-existing placeholder-looking text and
+    shared tokens across patterns do not inflate it; each pattern's
+    matches are counted on the text as it stood before that pattern
+    applied)."""
     pats = patterns if patterns is not None else PII_PATTERNS
     t = F.col(text_col)
-    for _name, rx, token in pats:
-        t = F.regexp_replace(t, rx, token)
     n_red = F.lit(0)
-    for _name, _rx, token in pats:
-        # occurrences of each placeholder in the final text
-        n_red = n_red + F.when(
-            F.col(text_col).isNull(), F.lit(0)
-        ).otherwise(
-            (F.length(t) - F.length(F.replace(t, F.lit(token), F.lit(""))))
-            / F.length(F.lit(token)))
+    for _name, rx, token in pats:
+        n_red = n_red + F.coalesce(F.regexp_count(t, F.lit(rx)),
+                                   F.lit(0))
+        t = F.regexp_replace(t, rx, token)
     return df.select(
         F.col(id_col),
         t.alias("clean_text"),
