@@ -539,6 +539,35 @@ def test_redact_pii_count_edge_cases(spark):
     assert out["n_redactions"] == 1 and out["clean_text"] == "x <PII> y"
 
 
+def test_clean_corpus_end_to_end(spark):
+    """Composition: redact → quality/lang filter → exact dedup →
+    near-dup cluster → one representative per cluster."""
+    from validify_spark.pipeline import clean_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks back home to rest for a while in the warm sun")
+    near = good + " extra tail words appended here"
+    rows = [
+        (1, good + " mail me a@b.example now"),  # survives (redacted)
+        (2, good),                                # near-dup of 1 -> drop
+        (3, near),                                # near-dup cluster -> drop
+        (4, "zz"),                                # junk quality -> drop
+        (5, good.upper()),                        # exact dup of 2 (norm)
+        (6, "der hund und die katze sind nicht in dem haus heute und "
+            "das ist ein gutes zeichen für die familie und die kinder"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = clean_corpus(df, quality_min=0.3, lang_allow=["en"],
+                       jaccard_threshold=0.5)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # 4 fails quality; 6 fails lang; 5 is an exact dup (case-normalized)
+    # of 2; 1/2/3 form one near-dup cluster -> only min id 1 survives
+    assert set(got) == {1}
+    assert "<EMAIL>" in got[1]["text"]
+    assert got[1]["n_redactions"] == 1
+    assert got[1]["pred_lang"] == "en"
+
+
 def test_text_model_plugin_seams(spark):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

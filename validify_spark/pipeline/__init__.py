@@ -6,6 +6,7 @@ and multimodal column plumbing. All Spark-first: built-in Column ops and
 higher-order functions; numpy/Arrow UDFs only for simhash bit math and
 the stubbed media decoders."""
 
+from .corpus import clean_corpus
 from .dedup import (
     duplicate_clusters,
     exact_duplicates,
@@ -27,5 +28,5 @@ __all__ = [
     "simhash_pairs", "cosine_topk", "cosine_self_pairs", "lsh_ann_topk",
     "ann_recall_at_k", "n_planes_for",
     "token_stats", "quality_score", "lang_id", "fingerprint",
-    "redact_pii",
+    "redact_pii", "clean_corpus",
 ]
