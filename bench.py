@@ -83,8 +83,8 @@ HEADLINE = [
     "turns_validation", "must_match", "time_ops", "email",
     "stats_profile", "uniqueness", "drift", "ordering",
     "dedup_exact", "dedup_jaccard", "minhash_signatures",
-    "token_stats", "quality", "lang_id", "fingerprint",
-    "cosine_topk", "embedding_near_dup",
+    "simhash_pairs", "token_stats", "quality", "lang_id",
+    "fingerprint", "redact_pii", "cosine_topk", "embedding_near_dup",
 ]
 
 TURNS_BENCH_ROWS = 3_000_000

@@ -539,6 +539,23 @@ def test_redact_pii_count_edge_cases(spark):
     assert out["n_redactions"] == 1 and out["clean_text"] == "x <PII> y"
 
 
+def test_compression_ratio_signal(spark):
+    from validify_spark.pipeline import compression_ratio
+    rep = "spam " * 200
+    prose = ("the committee reviewed seventeen distinct proposals "
+             "regarding watershed management before adjourning early "
+             "because several members raised unrelated procedural "
+             "objections about quorum rules and travel budgets")
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, None)], "doc_id int, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"]
+    assert got[1]["compression_ratio"] < 0.1   # boilerplate crushes
+    assert got[2]["compression_ratio"] > 0.5   # prose doesn't
+    assert got[3]["n_bytes"] is None
+    assert got[1]["n_bytes"] == len(rep.encode())
+
+
 def test_clean_corpus_end_to_end(spark):
     """Composition: redact → quality/lang filter → exact dedup →
     near-dup cluster → one representative per cluster."""

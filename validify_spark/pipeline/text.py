@@ -1,12 +1,17 @@
 """Text-analysis operators: token counting, quality scoring, language
-ID, document fingerprinting. Pure Column expressions (JVM codegen; zero
-Python on the row path) so they run at corpus scale and are exactly
-reproducible in an external SQL oracle.
+ID, document fingerprinting, PII redaction. Pure Column expressions
+(JVM codegen; zero Python on the row path) so they run at corpus scale
+and are exactly reproducible in an external SQL oracle — except
+``compression_ratio`` and the optional model plug-ins, which are
+Arrow-batched pandas UDFs (the documented slow-path tier; zlib and
+learned models have no SQL analog).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 # small built-in stopword marker sets for the language-ID heuristic —
 # high-frequency function words per language (public knowledge)
@@ -152,6 +157,44 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
         F.coalesce(best["lang"], F.lit("und")).alias("pred_lang"),
         F.coalesce(best["hits"], F.lit(0)).alias("lang_hits"),
     )
+
+
+def compression_ratio(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", level: int = 6) -> DataFrame:
+    """zlib compression ratio as a redundancy/quality signal — highly
+    repetitive boilerplate compresses far better than natural prose,
+    making this one of the standard cheap pretraining filters.
+
+    Arrow-batched pandas UDF (the documented slow-path tier — zlib has
+    no SQL analog, so this op is pytest-verified rather than
+    oracle-checked; it is deterministic for a fixed zlib version+level).
+
+    Output: <id_col>, n_bytes, n_compressed, compression_ratio
+    (compressed/raw — lower = more redundant)."""
+    import zlib
+
+    @pandas_udf("struct<n_bytes:int, n_compressed:int>")
+    def _comp(s: pd.Series) -> pd.DataFrame:
+        nb, nc = [], []
+        for t in s:
+            if t is None:
+                nb.append(None)
+                nc.append(None)
+            else:
+                b = t.encode("utf-8")
+                nb.append(len(b))
+                nc.append(len(zlib.compress(b, level)))
+        return pd.DataFrame({"n_bytes": nb, "n_compressed": nc})
+
+    # evaluate the UDF once, expand the struct in a second projection
+    tmp = df.select(F.col(id_col), _comp(F.col(text_col)).alias("__c"))
+    return tmp.select(
+        id_col,
+        F.col("__c.n_bytes").alias("n_bytes"),
+        F.col("__c.n_compressed").alias("n_compressed"),
+        F.round(F.col("__c.n_compressed")
+                / F.greatest(F.col("__c.n_bytes"), F.lit(1)), 6)
+         .alias("compression_ratio"))
 
 
 # Redaction patterns: deliberately simple, backref/lookaround-free so
