@@ -169,6 +169,11 @@ class ValidationEngine:
         carry = list(self.key_cols) + list(extra_cols)
         # two-phase: cheap boolean scan over everything, expensive
         # violation-struct construction only on the failing minority.
+        # For very large rulesets the phase-2 projection can exceed
+        # Janino's limits and Spark falls back to interpreted eval for
+        # that stage — acceptable by design: it touches failing rows
+        # only, and the barrier guarantees the fallback can never
+        # affect the full-scan phase.
         # ``barrier`` inserts a shuffle between the phases so they land
         # in SEPARATE whole-stage-codegen units. Without it they fuse
         # into one giant processNext(): C2 takes minutes to compile it
