@@ -339,18 +339,22 @@ def run_scaling(n_rows: int = 6_000_000) -> dict:
             env=env, capture_output=True, text=True, check=True)
         line = [ln for ln in out.stdout.strip().splitlines()
                 if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)["turns_per_sec"]
-    eff_2_8 = (results[8] / results[2]) / 4
-    eff_8_32 = (results[32] / results[8]) / 4
+        results[cpus] = json.loads(line)
+    tput = {c: results[c]["turns_per_sec"] for c in (2, 8, 32)}
+    eff_2_8 = (tput[8] / tput[2]) / 4
+    eff_8_32 = (tput[32] / tput[8]) / 4
     return {
         "job": "standard-ruleset validation of generated turns parquet",
         "rows": n_rows,
-        "throughput_turns_per_sec": {str(c): results[c]
+        "throughput_turns_per_sec": {str(c): tput[c]
                                      for c in (2, 8, 32)},
         "efficiency_2_to_8": round(eff_2_8, 3),
         "efficiency_8_to_32": round(eff_8_32, 3),
         "criterion": "efficiency >= 0.8 between N and 4N parallelism",
         "pass_unsaturated_pair": eff_2_8 >= 0.8,
+        # full per-level pass/steal evidence so a contaminated level is
+        # auditable from the artifact alone
+        "levels": {str(c): results[c] for c in (2, 8, 32)},
     }
 
 
