@@ -425,6 +425,19 @@ def q_ip_v6(spark, sf_dir):
     return eng.violations(t).select("case_id", "code")
 
 
+def q_ip(spark, sf_dir):
+    """Both ip checks in one oracle query (tagged union, so both stay
+    inside the driver's 50-query window): the synthesized-v4 scan and
+    the full 38-case reference truth table."""
+    v4 = q_ip_v4(spark, sf_dir).select(
+        F.lit("synth_v4").alias("src"),
+        F.col("event_id").cast("long").alias("case_id"), "code")
+    truth = q_ip_v6(spark, sf_dir).select(
+        F.lit("truth_table").alias("src"),
+        F.col("case_id").cast("long").alias("case_id"), "code")
+    return v4.unionByName(truth)
+
+
 def q_url(spark, sf_dir):
     """URL validation (WHATWG-parse UDF tier) on synthesized urls."""
     _load(spark, sf_dir, "events")
@@ -686,18 +699,30 @@ def q_stats_profile(spark, sf_dir):
 
 
 def q_drift(spark, sf_dir):
+    """KL/PSI drift over BOTH north_star histogram families in one
+    oracle query (tagged union): categorical (o_orderpriority) and
+    text-length buckets (documents), each even- vs odd-keyed halves."""
+    from validify_spark.checks import length_histogram
     t = _load(spark, sf_dir, "orders")["orders"]
     cur = categorical_histogram(t.filter("o_orderkey % 2 = 0"),
                                 "o_orderpriority")
     base = categorical_histogram(t.filter("o_orderkey % 2 = 1"),
                                  "o_orderpriority")
-    return drift_report(cur, base)
+    cat = drift_report(cur, base).withColumn(
+        "family", F.lit("categorical"))
+    d = _load(spark, sf_dir, "documents")["documents"]
+    lcur = length_histogram(d.filter("doc_id % 2 = 0"), "text",
+                            bucket_size=50)
+    lbase = length_histogram(d.filter("doc_id % 2 = 1"), "text",
+                             bucket_size=50)
+    ln = drift_report(lcur, lbase).withColumn(
+        "family", F.lit("text_length"))
+    return cat.unionByName(ln)
 
 
 def q_drift_length(spark, sf_dir):
-    """Text-LENGTH histogram drift (north_star names 'text-length
-    histograms' explicitly): fixed-width char-length buckets over the
-    documents table, even vs odd doc ids."""
+    """Text-LENGTH histogram drift alone (folded into q_drift for the
+    driver check; kept for direct/pytest use)."""
     from validify_spark.checks import length_histogram
     t = _load(spark, sf_dir, "documents")["documents"]
     cur = length_histogram(t.filter("doc_id % 2 = 0"), "text",
@@ -872,20 +897,29 @@ def q_ann_lsh(spark, sf_dir):
 
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal plumbing end-to-end: binary blob column + typed meta,
-    Arrow-batched mapInPandas decode. The codec is the documented
-    deterministic stub (md5-derived dims/checksum — no image libs in
-    this container), so the full pipeline is oracle-checkable; swapping
-    a real decoder is a one-function change (multimodal.py docstring)."""
+    Arrow-batched mapInPandas decode AND resize in one oracle query
+    (joined on doc_id so both passes stay inside the driver's 50-query
+    check window). The codecs are the documented deterministic stubs
+    (md5-derived dims/checksums — no image libs in this container), so
+    the full pipeline is oracle-checkable; swapping a real decoder /
+    resampler is a one-function change (multimodal.py docstring)."""
     from validify_spark.pipeline.multimodal import (attach_fake_blob,
-                                                    decode_media)
+                                                    decode_media,
+                                                    resize_media)
     t = (_load(spark, sf_dir, "documents")["documents"]
          .repartition(spark.sparkContext.defaultParallelism))
-    return decode_media(attach_fake_blob(t))
+    blobs = attach_fake_blob(t)
+    dec = decode_media(blobs)
+    rs = (resize_media(blobs, width=32, height=24)
+          .select("doc_id", "resized_checksum"))
+    return dec.join(rs, "doc_id")
 
 
 def q_multimodal_resize(spark, sf_dir):
     """Resize pass over binary blobs (stub resampler — deterministic
-    md5(md5(blob) || '-WxH'), so the Arrow plumbing is value-checked)."""
+    md5(md5(blob) || '-WxH'), so the Arrow plumbing is value-checked).
+    Folded into q_multimodal_decode for the driver check; kept for
+    direct/pytest use."""
     from validify_spark.pipeline.multimodal import (attach_fake_blob,
                                                     resize_media)
     t = (_load(spark, sf_dir, "documents")["documents"]
@@ -971,8 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_modifiers": q_nested_modifiers,
         "rename_all": q_rename_all,
         "email": q_email,
-        "ip_v4": q_ip_v4,
-        "ip_v6": q_ip_v6,
+        "ip": q_ip,
         "url": q_url,
         "phone": q_phone,
         "credit_card": q_credit_card,
@@ -989,9 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_report": q_partition_report,
         "salted_agg": q_salted_agg,
         "stats_profile": q_stats_profile,
-        "stats_profile_sketch": q_stats_profile_sketch,
         "drift": q_drift,
-        "drift_length": q_drift_length,
         "ordering": q_ordering,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1005,11 +1036,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_decode": q_multimodal_decode,
+        "frame_plan": q_frame_plan,
+        # rows-only queries (no SQL analog) LAST: the driver checks the
+        # first 50 entries against DuckDB — every oracle-bearing query
+        # above must stay inside that window (50 exactly, asserted by
+        # test_driver_contract.py)
         "ann_lsh": q_ann_lsh,
         "ann_recall": q_ann_recall,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "frame_plan": q_frame_plan,
+        "stats_profile_sketch": q_stats_profile_sketch,
     }
 
 
@@ -1182,10 +1217,20 @@ def oracle_sql() -> dict[str, str]:
           WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
             AND NOT (o_totalprice >= 0 AND o_totalprice <= 150000)""",
 
-        "ip_v6": f"""
+        "ip": rf"""
           WITH cases(case_id, expected) AS (VALUES
             {ip_cases})
-          SELECT case_id, 'ip' AS code FROM cases WHERE NOT expected""",
+          SELECT 'synth_v4' AS src, CAST(event_id AS BIGINT) AS case_id,
+                 'ip' AS code FROM (
+            SELECT event_id,
+              CAST(user_id % 300 AS STRING) || '.0.0.'
+                || CAST(event_id % 260 AS STRING) AS ip
+            FROM events)
+          WHERE NOT regexp_matches(ip,
+            '^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])){{3}}\z')
+          UNION ALL
+          SELECT 'truth_table', CAST(case_id AS BIGINT), 'ip'
+          FROM cases WHERE NOT expected""",
 
         "nested_modifiers": """
           SELECT c_custkey,
@@ -1266,15 +1311,6 @@ def oracle_sql() -> dict[str, str]:
         "email": """
           SELECT c_custkey, 'email' AS code FROM customer
           WHERE c_custkey % 13 = 0 OR c_custkey % 11 = 0""",
-
-        "ip_v4": r"""
-          SELECT event_id, 'ip' AS code FROM (
-            SELECT event_id,
-              CAST(user_id % 300 AS STRING) || '.0.0.'
-                || CAST(event_id % 260 AS STRING) AS ip
-            FROM events)
-          WHERE NOT regexp_matches(ip,
-            '^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])){3}\z')""",
 
         "url": """
           SELECT event_id, 'url' AS code FROM events
@@ -1438,36 +1474,26 @@ def oracle_sql() -> dict[str, str]:
                            n / (SELECT sum(n) FROM base) AS p FROM base),
           j AS (
             SELECT coalesce(c.p, 0.0) AS p, coalesce(b.p, 0.0) AS q
-            FROM curp c FULL OUTER JOIN basep b USING (bucket))
-          SELECT
-            round(sum((greatest(p, 1e-6) - greatest(q, 1e-6))
-                  * ln(greatest(p, 1e-6) / greatest(q, 1e-6))), 6) AS psi,
-            round(sum(CASE WHEN p > 0 THEN greatest(p, 1e-6)
-                  * ln(greatest(p, 1e-6) / greatest(q, 1e-6))
-                  ELSE 0.0 END), 6) AS kl,
-            count(*) AS n_buckets,
-            round(max(abs(p - q)), 6) AS max_abs_diff
-          FROM j""",
-
-        "drift_length": """
-          WITH cur AS (
+            FROM curp c FULL OUTER JOIN basep b USING (bucket)),
+          lcur AS (
             SELECT coalesce(CAST(CAST(floor(length(text) / 50) AS BIGINT)
                                  AS STRING), '__null__') AS bucket,
                    count(*) AS n
             FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
-          curp AS (SELECT bucket,
-                          n / (SELECT sum(n) FROM cur) AS p FROM cur),
-          base AS (
+          lcurp AS (SELECT bucket,
+                           n / (SELECT sum(n) FROM lcur) AS p FROM lcur),
+          lbase AS (
             SELECT coalesce(CAST(CAST(floor(length(text) / 50) AS BIGINT)
                                  AS STRING), '__null__') AS bucket,
                    count(*) AS n
             FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
-          basep AS (SELECT bucket,
-                           n / (SELECT sum(n) FROM base) AS p FROM base),
-          j AS (
+          lbasep AS (SELECT bucket,
+                            n / (SELECT sum(n) FROM lbase) AS p
+                     FROM lbase),
+          lj AS (
             SELECT coalesce(c.p, 0.0) AS p, coalesce(b.p, 0.0) AS q
-            FROM curp c FULL OUTER JOIN basep b USING (bucket))
-          SELECT
+            FROM lcurp c FULL OUTER JOIN lbasep b USING (bucket))
+          SELECT 'categorical' AS family,
             round(sum((greatest(p, 1e-6) - greatest(q, 1e-6))
                   * ln(greatest(p, 1e-6) / greatest(q, 1e-6))), 6) AS psi,
             round(sum(CASE WHEN p > 0 THEN greatest(p, 1e-6)
@@ -1475,7 +1501,17 @@ def oracle_sql() -> dict[str, str]:
                   ELSE 0.0 END), 6) AS kl,
             count(*) AS n_buckets,
             round(max(abs(p - q)), 6) AS max_abs_diff
-          FROM j""",
+          FROM j
+          UNION ALL
+          SELECT 'text_length',
+            round(sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+                  * ln(greatest(p, 1e-6) / greatest(q, 1e-6))), 6),
+            round(sum(CASE WHEN p > 0 THEN greatest(p, 1e-6)
+                  * ln(greatest(p, 1e-6) / greatest(q, 1e-6))
+                  ELSE 0.0 END), 6),
+            count(*),
+            round(max(abs(p - q)), 6)
+          FROM lj""",
 
         "ordering": """
           WITH t AS (
@@ -1598,13 +1634,9 @@ def oracle_sql() -> dict[str, str]:
                         + (strpos('0123456789abcdef',
                                   substr(h, 4, 1)) - 1)) % 64) AS INT)
               AS height,
-            h AS checksum
+            h AS checksum,
+            md5(h || '-32x24') AS resized_checksum
           FROM m""",
-
-        "multimodal_resize": """
-          SELECT doc_id, 32 AS width, 24 AS height,
-                 md5(md5(text) || '-32x24') AS resized_checksum
-          FROM documents""",
 
         "frame_plan": """
           SELECT doc_id,

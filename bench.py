@@ -236,14 +236,21 @@ def run_bench() -> dict:
         s1, j1 = _read_proc_stat()
         return sec, round(100.0 * (s1 - s0) / max(j1 - j0, 1), 1)
 
-    timings, steals = {}, {}
+    # two timed passes per query: pass 1 (cold at this SF — first-run
+    # C2/compile ramp) recorded separately, min kept as the headline
+    # number. Keeps first-pass JIT cost from masquerading as a plan
+    # regression (r3's three false flags were exactly this).
+    timings, colds, steals = {}, {}, {}
     for name in HEADLINE:
+        colds[name], csteal = timed(qs[name])
         timings[name], steals[name] = timed(qs[name])
-    # isolation retry: suite timings are single-shot, so one co-tenant
-    # wave poisons whichever queries it hits (observed: 12x at 0%
-    # recorded steal). Re-time each flagged query once and keep the
-    # faster pass — noise is one-sided, so min is the honest estimate;
-    # a real plan regression survives the retry.
+        if colds[name] < timings[name]:
+            timings[name], steals[name] = colds[name], csteal
+    # isolation retry: suite timings land on a shared host, so one
+    # co-tenant wave poisons whichever queries it hits (observed: 12x
+    # at 0% recorded steal). Re-time each flagged query once and keep
+    # the fastest pass — noise is one-sided, so min is the honest
+    # estimate; a real plan regression survives the retry.
     for name in list(_flag_regressions(timings, steals)):
         if name not in qs:
             continue
@@ -251,9 +258,26 @@ def run_bench() -> dict:
         if sec < timings[name]:
             timings[name], steals[name] = sec, steal
     timings["gen_turns_validate_3m"] = median_sec
+    colds["gen_turns_validate_3m"] = warm[0]["sec"]
 
     spark.stop()
     total = round(sum(timings.values()), 3)
+    regressions = _flag_regressions(timings, steals)
+    # raw per-pass evidence goes to a FILE — the driver's output-tail
+    # capture is small, and r3's all-passes-inline final line overflowed
+    # it ("parsed": null, no headline recorded). The final printed line
+    # stays compact.
+    raw_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH")
+    os.makedirs(raw_dir, exist_ok=True)
+    with open(os.path.join(raw_dir, "raw_passes.json"), "w") as f:
+        json.dump({"tput_warmup": warm, "tput_passes": measured,
+                   "tput_clean_passes": len(clean),
+                   "query_cold_sec": colds,
+                   "query_steal_pct": steals,
+                   "regressions_detail": regressions,
+                   "baseline_missing": _baseline_missing(timings)},
+                  f, indent=1)
     return {
         "metric": "headline suite wall time (validation engine + "
                   "distributed checks + pipeline ops)",
@@ -266,14 +290,10 @@ def run_bench() -> dict:
         "turns_per_sec_clean_median": (
             round(TURNS_BENCH_ROWS / clean_median)
             if clean_median else None),
-        "tput_clean_passes": len(clean),
-        "tput_warmup": warm,
-        "tput_passes": measured,
         "cpus": CPUS,
         "regression_budget_pct": int(REGRESSION_BUDGET * 100),
-        "regressions": _flag_regressions(timings, steals),
-        "baseline_missing": _baseline_missing(timings),
-        "query_steal_pct": steals,
+        "regressions": {n: r["ratio"] for n, r in regressions.items()},
+        "raw_passes_file": "BENCH/raw_passes.json",
     }
 
 

@@ -31,6 +31,42 @@ def _utcnow() -> _dt.datetime:
     return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
 
 
+# Relative whole-stage-codegen weight of one compiled rule, by kind.
+# Used to pack the phase-2 violation projection into chunks that each
+# compile comfortably under Janino's 64 KB per-method bytecode limit.
+# Calibrated against the 8-rule flagship ruleset, whose fused projection
+# generated a ~17k-line processNext() that failed to compile: time rules
+# (multi-branch parse/overflow/format handling, compiler.py:239-459) and
+# regex-bearing string validators dominate; scalar comparisons are small.
+_KIND_WEIGHT = {
+    "length": 1, "range": 1, "is_in": 1, "not_in": 1, "must_match": 1,
+    "required": 1, "contains": 2, "contains_not": 2, "custom": 2,
+    "regex": 2, "non_control_char": 2, "email": 2, "url": 2, "ip": 2,
+    "phone": 2, "credit_card": 2, "time": 4, "iter": 4, "nested": 4,
+    "map_values": 4, "schema": 3,
+}
+# Max summed weight per phase-2 codegen chunk. The real 64 KB overflow
+# was the size(_v)>0 filter pushed below the barrier (see violations());
+# with that gone, the 13-weight flagship's fused post-barrier projection
+# generates ~3k lines and compiles comfortably, so the budget only
+# splits genuinely huge rulesets (~2x the flagship per chunk).
+_CHUNK_WEIGHT = 24
+
+
+def _chunk_by_weight(rules: list, budget: int) -> list:
+    chunks, cur, w = [], [], 0
+    for r in rules:
+        rw = _KIND_WEIGHT.get(r.kind, 2)
+        if cur and w + rw > budget:
+            chunks.append(cur)
+            cur, w = [], 0
+        cur.append(r)
+        w += rw
+    if cur:
+        chunks.append(cur)
+    return chunks or [[]]
+
+
 @dataclass
 class ValidationResult:
     normalized: DataFrame
@@ -116,13 +152,19 @@ class ValidationEngine:
         # presence failure gates main rules, but the row still fails
         return presence_pass & main_pass
 
-    def _violations_array(self, df: DataFrame):
-        """Build the single flattened array<violation> Column."""
+    def _violations_array(self, df: DataFrame, rules: list = None,
+                          emit_presence: bool = True):
+        """Build one flattened array<violation> Column for ``rules``
+        (default: every main rule). Presence rules are always *evaluated*
+        (their failure gates main/schema rules, payload/impl.rs:17-53)
+        but their own violation structs are emitted only when
+        ``emit_presence`` — so chunked evaluation emits each presence
+        violation exactly once."""
         schema = df.schema
         presence = self.ruleset.presence_rules
-        main = [r for r in self.ruleset.main_rules if r.kind != "schema"]
-        schema_rules = [r for r in self.ruleset.main_rules
-                        if r.kind == "schema"]
+        pool = self.ruleset.main_rules if rules is None else rules
+        main = [r for r in pool if r.kind != "schema"]
+        schema_rules = [r for r in pool if r.kind == "schema"]
 
         def compile_or_missing(r):
             miss = self._missing_inputs(r, schema)
@@ -140,7 +182,7 @@ class ValidationEngine:
         else:
             presence_ok = F.lit(True)
 
-        arrays = list(presence_arrays)
+        arrays = list(presence_arrays) if emit_presence else []
         for r in main:
             arr = compile_or_missing(r)
             if presence:
@@ -169,11 +211,6 @@ class ValidationEngine:
         carry = list(self.key_cols) + list(extra_cols)
         # two-phase: cheap boolean scan over everything, expensive
         # violation-struct construction only on the failing minority.
-        # For very large rulesets the phase-2 projection can exceed
-        # Janino's limits and Spark falls back to interpreted eval for
-        # that stage — acceptable by design: it touches failing rows
-        # only, and the barrier guarantees the fallback can never
-        # affect the full-scan phase.
         # ``barrier`` inserts a shuffle between the phases so they land
         # in SEPARATE whole-stage-codegen units. Without it they fuse
         # into one giant processNext(): C2 takes minutes to compile it
@@ -193,12 +230,53 @@ class ValidationEngine:
             else:
                 failing = failing.repartition(
                     df.sparkSession.sparkContext.defaultParallelism)
-        viol = self._violations_array(failing)
-        out = (failing
-               .select(*carry, viol.alias("_v"))
-               .filter(F.size("_v") > 0)
-               .select(*carry, F.explode("_v").alias("v"))
-               .select(*carry, "v.*"))
+
+        def project(chunk_rules, emit_presence):
+            viol = self._violations_array(
+                failing, rules=chunk_rules, emit_presence=emit_presence)
+            # NO size(_v)>0 pre-filter here: explode() already emits
+            # zero rows for an empty array, and a filter on _v gets
+            # pushed by Catalyst below the barrier exchange — which
+            # substitutes the ENTIRE violations expression (with
+            # modifier chains inlined per rule, since normalize hasn't
+            # materialized yet on that side) into the full-scan stage.
+            # That duplication is what overflowed Janino's 64 KB method
+            # limit on the 8-rule flagship (17k-line processNext, 3x
+            # failed compiles + interpreted fallback per fresh JVM).
+            return (failing
+                    .select(*carry, viol.alias("_v"))
+                    .select(*carry, F.explode("_v").alias("v"))
+                    .select(*carry, "v.*"))
+
+        # Even phase 2 alone can overflow Janino's 64 KB per-method
+        # limit — the 8-rule flagship's fused violation projection
+        # generated a ~17k-line processNext() that failed to compile
+        # (3x multi-second compile attempts per fresh JVM, then
+        # interpreted eval over every failing row: at 10^12 rows that
+        # is 10^11 interpreted-eval rows). A single flatten(array(...))
+        # is ONE expression, so Spark's expression splitter cannot cut
+        # it. Fix: pack rules into weight-bounded chunks and project
+        # each chunk in its OWN union branch. All branches read the
+        # same barrier shuffle (ReuseExchange — the phase-1 scan still
+        # runs once); each branch is a separate whole-stage-codegen
+        # unit that compiles comfortably. Extra cost: K-1 additional
+        # reduce-side reads of the failing minority only.
+        # Chunking needs the barrier (without it each branch would
+        # re-run the full scan), so barrier=False keeps the fused
+        # single projection — that path exists for semantics tests.
+        chunks = (_chunk_by_weight(self.ruleset.main_rules, _CHUNK_WEIGHT)
+                  if barrier else [self.ruleset.main_rules])
+        if len(chunks) > 1:
+            # Per-branch column pruning makes each branch's exchange
+            # canonicalize differently, defeating ReuseExchange — so a
+            # multi-chunk union would re-run the full phase-1 scan per
+            # chunk. localCheckpoint materializes the failing minority
+            # once; every branch reads the same blocks.
+            failing = failing.localCheckpoint(eager=False)
+        out = project(chunks[0], emit_presence=True)
+        for chunk_rules in chunks[1:]:
+            out = out.unionByName(project(chunk_rules,
+                                          emit_presence=False))
         if self.dedup:
             # ValidationErrors::merge dedup semantics (error.rs:222-231)
             out = (out

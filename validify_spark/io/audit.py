@@ -42,12 +42,24 @@ AUDIT_SCHEMA = ("run_id string, partition_id string, n_rows long, "
                 "wall_sec double")
 
 
-def _has_data_files(d: str) -> bool:
+def _has_data_files(spark: SparkSession, d: str) -> bool:
     """True if the directory tree contains any parquet data file
     (``part-*``) — distinguishes a legitimately-empty violations sink
-    (only ``_SUCCESS``) from one that should be readable."""
-    for _root, _dirs, files in os.walk(d):
-        if any(f.startswith("part-") for f in files):
+    (only ``_SUCCESS``) from one that should be readable.
+
+    Probed through the Hadoop FileSystem API, NOT a driver-local
+    os.walk: Spark resolves ``d`` against the default filesystem, so
+    on HDFS/S3 deployments a local walk would see nothing and silently
+    mint n_violations=0 / passed=true markers that resume never
+    revisits — the exact false-pass this probe exists to prevent."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(d)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        if it.next().getPath().getName().startswith("part-"):
             return True
     return False
 
@@ -216,7 +228,7 @@ class AuditedValidationRun:
         # the dir) — a real read failure (corrupt file, transient IO,
         # permissions) must fail the batch, not mint a passed=true
         # marker that resume would never revisit.
-        if _has_data_files(self.violations_dir):
+        if _has_data_files(spark, self.violations_dir):
             vcounts = {
                 r["partition_id"]: r["n"]
                 for r in spark.read.parquet(self.violations_dir)

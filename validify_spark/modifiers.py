@@ -23,20 +23,19 @@ _WS_CHARS = ("\t\n\x0b\x0c\r \x85\xa0 "
 
 
 def _trim_unicode(c: Column) -> Column:
-    """Exact-parity Unicode trim, hot-path aware: startswith/endswith
-    probes over the 25-char White_Space set gate the btrim, so untouched
-    strings (the overwhelming majority at corpus scale) pay O(1) byte
-    compares — no regex (a `^ws+|ws+$` regexp_replace benches ~10x
-    slower: the unanchored alternation walks the whole string) and no
-    numChars scan (substring(c,-1,1) JIT-degrades inside large codegen
-    methods)."""
-    needs = None
-    for ch in _WS_CHARS:
-        probe = c.startswith(ch) | c.endswith(ch)
-        needs = probe if needs is None else (needs | probe)
-    return F.when(c.isNull(), c) \
-            .when(needs, F.btrim(c, F.lit(_WS_CHARS))) \
-            .otherwise(c)
+    """Exact-parity Unicode trim: one `btrim` over the 25-char
+    White_Space set (verified char-for-char equal to Python
+    str.strip(WS) incl. multi-byte \\u3000/\\u2028 and NOT trimming
+    ZWSP). ONE expression matters as much as runtime here: Catalyst
+    substitutes the modifier into every rule predicate referencing the
+    column (~18 copies in the 8-rule flagship's phase-1 filter), so a
+    25-char startswith/endswith probe chain — the previous
+    implementation — ballooned the scan stage past Janino's 64 KB
+    method limit (20k-line processNext, failed compile → interpreted
+    eval). btrim is O(trimmed chars) from both ends, so untouched
+    strings still pay near-nothing; no regex (a `^ws+|ws+$`
+    regexp_replace benches ~10x slower)."""
+    return F.btrim(c, F.lit(_WS_CHARS))
 
 
 def _cap(c: Column) -> Column:

@@ -151,7 +151,8 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                        id_b: str = "id_b",
-                       max_iter: int = 20) -> DataFrame:
+                       max_iter: int = 20,
+                       checkpoint_dir: Optional[str] = None) -> DataFrame:
     """Connected components over near-dup pairs: cluster_id = min doc
     id in the component — the "keep one representative per duplicate
     cluster" step that follows any pair generator (jaccard_pairs,
@@ -163,16 +164,35 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     distance roughly doubles per round, so convergence is
     O(log diameter) and max_iter=20 covers components with diameters
     in the millions. Each round is a couple of joins + one
-    partial-aggregated groupBy on the node id; labels are
-    localCheckpoint-ed per round to keep the lineage flat (an
-    iterative plan would otherwise grow exponentially) — at cluster
-    scale swap for reliable checkpoint/storage like
-    simhash_pairs(checkpoint_dir=). Driver loop with an early-exit
-    convergence count; raises RuntimeError if the loop exhausts
-    without converging (a silently split cluster would quietly keep
-    duplicates downstream).
+    partial-aggregated groupBy on the node id.
+
+    Per-round state is materialized to keep lineage flat (an iterative
+    plan would otherwise grow exponentially). ``checkpoint_dir``: the
+    cluster-scale path, same seam as simhash_pairs — each round's
+    labels (intermediate AND final) are WRITTEN to parquet and read
+    back, so the lineage of every round roots at storage: a lost
+    executor recomputes at most one round instead of failing a 40-hour
+    clustering job. The default localCheckpoint keeps blocks on
+    executors only — fine locally and in tests.
+
+    Convergence costs no extra join: each round's output carries a
+    ``chg`` flag (new label != old label) computed inside the same
+    projection that produces the labels, so the convergence probe is
+    an isEmpty() scan of the just-materialized blocks — one cheap
+    metadata-sized action, not a labels⋈labels re-join. Raises
+    RuntimeError if the loop exhausts without converging (a silently
+    split cluster would quietly keep duplicates downstream).
 
     Output: doc_id, cluster_id (only docs that appear in a pair)."""
+    spark = pairs.sparkSession
+
+    def persist(df: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir.rstrip('/')}/clusters_{name}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
     edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
              .unionByName(pairs.select(F.col(id_b).alias("a"),
                                        F.col(id_a).alias("b")))
@@ -183,38 +203,36 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # max_iter productive rounds + one extra: proving the fixpoint
     # costs a zero-change round, and labels that stabilize ON the last
     # productive round are still a correct result
-    for _ in range(max_iter + 1):
+    for rnd in range(max_iter + 1):
         nbr_min = (edges
                    .join(labels.select(F.col("id").alias("b"),
                                        F.col("label").alias("nl")), "b")
                    .groupBy("a").agg(F.min("nl").alias("mn")))
-        # checkpoint the hash-min result BEFORE the pointer-jump
-        # self-join — both join sides read the materialized blocks
-        # instead of re-running the join/aggregate subplan
-        new = (labels
-               .join(nbr_min, labels["id"] == nbr_min["a"], "left")
-               .select(F.col("id"),
-                       F.least(F.col("label"),
-                               F.coalesce(F.col("mn"), F.col("label")))
-                        .alias("label"))
-               .localCheckpoint(eager=True))
-        # pointer jumping: label <- min(label, label(label))
-        lbl2 = new.select(F.col("id").alias("__lid"),
-                          F.col("label").alias("__l2"))
-        new = (new
-               .join(lbl2, new["label"] == lbl2["__lid"], "left")
-               .select(F.col("id"),
-                       F.least(F.col("label"),
-                               F.coalesce(F.col("__l2"),
-                                          F.col("label")))
-                        .alias("label"))
-               .localCheckpoint(eager=True))
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .count())
-        labels = new
-        if changed == 0:
+        # materialize the hash-min result BEFORE the pointer-jump
+        # self-join — both join sides read the materialized state
+        # instead of re-running the join/aggregate subplan; ``label``
+        # is the round's original label, carried so the final
+        # projection can flag changes without another join
+        step = (labels
+                .join(nbr_min, labels["id"] == nbr_min["a"], "left")
+                .select(F.col("id"), F.col("label").alias("old"),
+                        F.least(F.col("label"),
+                                F.coalesce(F.col("mn"), F.col("label")))
+                         .alias("label")))
+        step = persist(step, f"r{rnd}_min")
+        # pointer jumping: label <- min(label, label(label)); chg
+        # computed in the SAME projection (vs the round's input label)
+        lbl2 = step.select(F.col("id").alias("__lid"),
+                           F.col("label").alias("__l2"))
+        jumped = F.least(F.col("label"),
+                         F.coalesce(F.col("__l2"), F.col("label")))
+        new = (step
+               .join(lbl2, step["label"] == lbl2["__lid"], "left")
+               .select(F.col("id"), jumped.alias("label"),
+                       (jumped != F.col("old")).alias("chg")))
+        new = persist(new, f"r{rnd}")
+        labels = new.drop("chg")
+        if new.filter("chg").isEmpty():
             converged = True
             break
     if not converged:

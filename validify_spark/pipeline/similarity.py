@@ -130,7 +130,18 @@ def _resolve_n_planes(corpus: DataFrame,
     # NOTE: without corpus_size this runs corpus.count() EAGERLY (a
     # real Spark job at plan-construction time — cheap count-star over
     # parquet metadata, but a job nonetheless). At 10^9+ rows always
-    # pass corpus_size (the catalog row count).
+    # pass corpus_size (the catalog row count). Warned, not silent:
+    # r3 changed the default from fixed plane counts to auto-scaling,
+    # so existing callers both pay this job and can see different
+    # bucket granularity — pass n_planes= to pin the old behavior.
+    if corpus_size is None:
+        import warnings
+        warnings.warn(
+            "n_planes=None with no corpus_size: running an eager "
+            "corpus.count() to auto-scale LSH planes (default changed "
+            "in r3 from fixed 8/10 planes). Pass corpus_size= to skip "
+            "the job or n_planes= to pin a fixed count.",
+            stacklevel=3)
     size = corpus_size if corpus_size is not None else corpus.count()
     return n_planes_for(size, target_bucket)
 

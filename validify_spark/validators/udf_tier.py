@@ -131,6 +131,12 @@ def url_slow_ok(c: Column) -> Column:
 # lineage as the reference crate); else a documented E.164 approximation
 # that matches the reference truth table (phone.rs tests: '+14152370800'
 # true, '14152370800' false, '0642926829' false, 'A012' false).
+# APPROXIMATION BOUNDARY (recorded by the strict-xfail
+# test_phone_numbering_plan_boundary): the fallback checks E.164 SHAPE
+# only, so numbers with a valid shape but no real numbering plan
+# (+1 999…, +1 1xx…, country code +999) pass here and fail under
+# libphonenumber. Vendor `phonenumbers` to close the gap; the seam
+# below switches automatically.
 # ---------------------------------------------------------------------------
 
 _PHONE_STRIP = re.compile(r"[\s().\-]")
@@ -179,6 +185,37 @@ _DOMAIN_RE = re.compile(
 _LITERAL_RE = re.compile(r"\[([A-f0-9:\.]+)\]\Z", re.IGNORECASE)
 
 
+def _domain_to_ascii(domain: str) -> str:
+    """UTS-46 domain_to_ascii, matching the reference's `idna` crate
+    (email.rs:46-52; idna 0.5 defaults: non-transitional,
+    UseSTD3ASCIIRules=false). The Python `idna` package implements
+    UTS-46 mapping + strict IDNA2008 validation — right for the common
+    cases the old `str.encode("idna")` (IDNA2003) got wrong (ß is
+    preserved as xn--fa-hia, not folded to ss) — but IDNA2008 rejects
+    codepoints WHATWG allows (emoji), so on IDNAError fall back to
+    UTS-46 remap + raw punycode per label, which is what
+    domain_to_ascii does without the IDNA2008 validity check. Raises
+    on garbage; the caller maps any exception to invalid."""
+    try:
+        import idna
+    except ImportError:  # pragma: no cover — installed in this env
+        return domain.encode("idna").decode("ascii")
+    try:
+        return idna.encode(domain, uts46=True,
+                           std3_rules=False).decode("ascii")
+    except idna.IDNAError:
+        remapped = idna.uts46_remap(domain, std3_rules=False,
+                                    transitional=False)
+        out = []
+        for lab in remapped.split("."):
+            if lab.isascii():
+                out.append(lab)
+            else:
+                out.append("xn--"
+                           + lab.encode("punycode").decode("ascii"))
+        return ".".join(out)
+
+
 def _email_domain_slow(v: str) -> bool:
     domain = v.rsplit("@", 1)[-1]
     m = _LITERAL_RE.search(domain)
@@ -186,8 +223,8 @@ def _email_domain_slow(v: str) -> bool:
         return _is_ip_any(m.group(1))
     # IDN retry: domain_to_ascii then re-check the HTML5 domain regex
     try:
-        ascii_domain = domain.encode("idna").decode("ascii")
-    except (UnicodeError, ValueError):
+        ascii_domain = _domain_to_ascii(domain)
+    except Exception:  # noqa: BLE001 — any mapping failure = invalid
         return False
     return bool(_DOMAIN_RE.match(ascii_domain))
 
