@@ -144,6 +144,32 @@ def test_duplicate_clusters_checkpoint_dir(spark, tmp_path):
     assert round_dirs, "expected per-round parquet label checkpoints"
 
 
+def test_nested_time_rule_parses_string_target(spark):
+    """A time rule nested in iter/map_values with a string-typed
+    (top-level) target_column must use the same runtime parse-with-
+    format path as at top level — not compare against the raw string
+    (r3 ADVICE: schema wasn't threaded into the nested ok_and_params,
+    so '09/30/2001' as a raw string would spuriously compare
+    lexicographically)."""
+    df = spark.createDataFrame(
+        [(1, ["2001-01-01 00:00:00"], "09/30/2001"),
+         (2, ["2001-12-31 00:00:00"], "09/30/2001"),
+         (3, ["2001-01-01 00:00:00"], "garbage")],
+        "id int, ts_arr array<string>, deadline string")
+    df = df.withColumn(
+        "ts_arr", F.transform("ts_arr", lambda x: x.cast("timestamp")))
+    inner = vs.time("", op="before", target_column="deadline",
+                    format="MM/dd/yyyy")
+    eng = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.iter_("ts_arr", inner)]), key_cols=["id"])
+    failed = {r.id for r in eng.violations(df).collect()}
+    # row 1: Jan 1 < Sep 30 parsed -> pass. Raw-string comparison
+    # would FAIL it ('2001-01-01…' > '09/30/2001' lexicographically).
+    # row 2: Dec 31 > deadline -> violation.
+    # row 3: unparseable target is never proven ok -> violation.
+    assert failed == {2, 3}
+
+
 def test_merged_queries_cover_both_parts(spark):
     sf = "/root/testdata/sf0.001"
     ip = E.q_ip(spark, sf)

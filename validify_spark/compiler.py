@@ -600,7 +600,14 @@ def _compile_iter(rule: Rule, schema: T.StructType,
         elem = x[sub] if sub else x
         edt = (resolve_type(etype, sub)
                if (sub and isinstance(etype, T.StructType)) else etype)
-        ok, prm = ok_and_params(inner, elem, edt, run_ts)
+        # top-level ``schema`` threaded so a nested time rule with a
+        # string-typed (top-level) target_column gets the same
+        # runtime-parse semantics as at top level. One documented
+        # difference: the dedicated parse-error violation flavor
+        # (_compile_time_string_target) is top-level only — nested
+        # parse failures emit the rule's normal code (unparseable
+        # target is still never proven ok).
+        ok, prm = ok_and_params(inner, elem, edt, run_ts, schema)
         # inner display_name renames the location leaf, like
         # ValidationError::new_field_named (error_location.rs:186-190
         # golden '/second/invalid_grandchildren/2/obfuscated')
@@ -641,7 +648,9 @@ def _compile_map_values(rule: Rule, schema: T.StructType,
         elem = e["value"][sub] if sub else e["value"]
         edt = (resolve_type(vtype, sub)
                if (sub and isinstance(vtype, T.StructType)) else vtype)
-        ok, prm = ok_and_params(inner, elem, edt, run_ts)
+        # schema threaded for nested time string-target parse parity
+        # (see _compile_iter.per_element)
+        ok, prm = ok_and_params(inner, elem, edt, run_ts, schema)
         subloc = inner.display_name or sub
         loc = F.concat(F.lit(base_loc + "/"), e["key"].cast("string"),
                        F.lit("/" + subloc) if subloc else F.lit(""))
