@@ -92,7 +92,14 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
     Output: id_a, id_b (id_a < id_b), intersection, size_a, size_b,
     jaccard. Default is EXACT (max_df=None): every shingle participates,
-    so a clone cluster of any size surfaces in full. ``max_df`` is the
+    so a clone cluster of any size surfaces in full.
+
+    .. versionchanged:: r3
+       The default flipped from ``max_df=1000`` to ``max_df=None``
+       (exact). Corpus-scale callers relying on the old implicit
+       stop-shingle cap must now pass ``max_df`` explicitly — with the
+       old default a ubiquitous shingle was silently dropped; with the
+       new one it regains the d-squared candidate blowup. ``max_df`` is the
     opt-in stop-shingle cap for corpus scale: shingles present in more
     than max_df docs are dropped from the index (a shingle in d docs
     contributes d² candidate pairs). When capping, set sizes AND
