@@ -1,0 +1,121 @@
+"""Streaming column-profile + drift: batch parity on a file stream."""
+
+import math
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from validify_spark.data import generate_turns  # noqa: E402
+from validify_spark.streaming import (stream_column_profile,  # noqa: E402
+                                      stream_drift)
+
+EPS = 1e-6
+
+
+def _run(stream_q, name):
+    q = (stream_q.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_stream_column_profile_matches_batch(spark, tmpdir):
+    turns = generate_turns(spark, 800, seed=7) \
+        .filter(F.col("ts").isNotNull())
+    src = f"{tmpdir}/prof_src"
+    turns.write.parquet(src)
+    stream = spark.readStream.schema(turns.schema).parquet(src)
+    prof = stream_column_profile(stream, ["role", "text"],
+                                 window="1 hour", watermark="2 hours")
+    _run(prof, "prof_stream")
+    got = {(r.window_start, r.column):
+           (r.n_rows, r.n_null, r.null_rate, r.min, r.max)
+           for r in spark.table("prof_stream").collect()}
+    assert got, "expected at least one finalized window"
+
+    batch = spark.read.parquet(src).withColumn(
+        "w", F.window("ts", "1 hour"))
+    for c in ("role", "text"):
+        want = (batch.groupBy(F.col("w.start").alias("ws"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col(c).isNull().cast("long")).alias("nn"),
+                     F.min(F.col(c).cast("string")).alias("mn"),
+                     F.max(F.col(c).cast("string")).alias("mx"))
+                .collect())
+        for r in want:
+            g = got[(r.ws, c)]
+            assert g[0] == r.n and g[1] == r.nn
+            assert g[2] == round(r.nn / r.n, 6)
+            assert (g[3], g[4]) == (r.mn, r.mx)
+
+
+def test_stream_drift_matches_hand_computed(spark, tmpdir):
+    turns = generate_turns(spark, 600, seed=11) \
+        .filter(F.col("ts").isNotNull())
+    src = f"{tmpdir}/drift_src"
+    turns.write.parquet(src)
+    batch = spark.read.parquet(src)
+    # baseline = the whole corpus's role distribution (driver-side)
+    n_total = batch.count()
+    baseline = {r["role"] if r["role"] is not None else "__null__":
+                r["cnt"] / n_total
+                for r in batch.groupBy("role")
+                              .agg(F.count(F.lit(1)).alias("cnt"))
+                              .collect()}
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    d = stream_drift(stream, "role", baseline,
+                     window="1 hour", watermark="2 hours")
+    _run(d, "drift_stream")
+    rows = spark.table("drift_stream").collect()
+    assert rows, "expected finalized windows"
+
+    wb = batch.withColumn("w", F.window("ts", "1 hour"))
+    for r in rows:
+        obs = {(x["role"] if x["role"] is not None else "__null__"):
+               x["cnt"]
+               for x in wb.filter(F.col("w.start") == r.window_start)
+                          .groupBy("role")
+                          .agg(F.count(F.lit(1)).alias("cnt"))
+                          .collect()}
+        n = sum(obs.values())
+        assert n == r.n_rows
+        buckets = set(baseline) | {"__null__", "__other__"}
+        psi = kl = 0.0
+        mad = 0.0
+        for b in buckets:
+            p_raw = obs.get(b, 0) / n
+            q_raw = float(baseline.get(b, 0.0))
+            p, q = max(p_raw, EPS), max(q_raw, EPS)
+            psi += (p - q) * math.log(p / q)
+            if p_raw > 0:
+                kl += p * math.log(p / q)
+            mad = max(mad, abs(p_raw - q_raw))
+        assert abs(r.psi - round(psi, 6)) < 1e-5
+        assert abs(r.kl - round(kl, 6)) < 1e-5
+        assert abs(r.max_abs_diff - round(mad, 6)) < 1e-5
+
+
+def test_stream_drift_flags_new_category(spark, tmpdir):
+    """A category absent from the baseline lands in __other__ with a
+    floored baseline probability — PSI must spike well above the
+    same-distribution case."""
+    rows = [(f"c{i}", 0, "assistant" if i % 2 else "newrole",
+             "t", None, f"2024-01-01 00:{i % 50:02d}:00")
+            for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts_s string") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    src = f"{tmpdir}/newcat_src"
+    df.write.parquet(src)
+    baseline = {"assistant": 0.5, "user": 0.5}
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    d = stream_drift(stream, "role", baseline,
+                     window="1 hour", watermark="2 hours")
+    _run(d, "newcat_stream")
+    rows = spark.table("newcat_stream").collect()
+    assert rows and all(r.psi > 1.0 for r in rows), rows
