@@ -248,19 +248,17 @@ class ValidationEngine:
                     .select(*carry, F.explode("_v").alias("v"))
                     .select(*carry, "v.*"))
 
-        # Even phase 2 alone can overflow Janino's 64 KB per-method
-        # limit — the 8-rule flagship's fused violation projection
-        # generated a ~17k-line processNext() that failed to compile
-        # (3x multi-second compile attempts per fresh JVM, then
-        # interpreted eval over every failing row: at 10^12 rows that
-        # is 10^11 interpreted-eval rows). A single flatten(array(...))
-        # is ONE expression, so Spark's expression splitter cannot cut
-        # it. Fix: pack rules into weight-bounded chunks and project
-        # each chunk in its OWN union branch. All branches read the
-        # same barrier shuffle (ReuseExchange — the phase-1 scan still
-        # runs once); each branch is a separate whole-stage-codegen
-        # unit that compiles comfortably. Extra cost: K-1 additional
-        # reduce-side reads of the failing minority only.
+        # Phase 2 itself can also overflow Janino's 64 KB method limit
+        # once a ruleset is big enough (~2x the 8-rule flagship, whose
+        # post-barrier projection generates ~2k lines): a single
+        # flatten(array(...)) is ONE expression, so Spark's expression
+        # splitter cannot cut it, and a failed compile means
+        # interpreted eval over every failing row — at 10^12 rows
+        # that is 10^11 interpreted-eval rows. Insurance: pack rules
+        # into weight-bounded chunks and project each chunk in its OWN
+        # union branch, each a separate whole-stage-codegen unit that
+        # compiles comfortably. Extra cost: K-1 additional reads of the
+        # materialized failing minority only.
         # Chunking needs the barrier (without it each branch would
         # re-run the full scan), so barrier=False keeps the fused
         # single projection — that path exists for semantics tests.
