@@ -904,15 +904,10 @@ def q_multimodal_decode(spark, sf_dir):
     the full pipeline is oracle-checkable; swapping a real decoder /
     resampler is a one-function change (multimodal.py docstring)."""
     from validify_spark.pipeline.multimodal import (attach_fake_blob,
-                                                    decode_media,
-                                                    resize_media)
+                                                    decode_and_resize)
     t = (_load(spark, sf_dir, "documents")["documents"]
          .repartition(spark.sparkContext.defaultParallelism))
-    blobs = attach_fake_blob(t)
-    dec = decode_media(blobs)
-    rs = (resize_media(blobs, width=32, height=24)
-          .select("doc_id", "resized_checksum"))
-    return dec.join(rs, "doc_id")
+    return decode_and_resize(attach_fake_blob(t), width=32, height=24)
 
 
 def q_multimodal_resize(spark, sf_dir):

@@ -25,8 +25,22 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # point of view; r3's only scale regression was exactly that, invisible
 # to every other audit column).
 JVM_LOG = "/tmp/plan_audit_jvm.log"
+_orig_stderr_fd = os.dup(2)
 _log_f = open(JVM_LOG, "wb", buffering=0)
 os.dup2(_log_f.fileno(), 2)
+
+
+def _excepthook(tp, val, tb):
+    # the dup2 above routes fd 2 (incl. Python tracebacks) into the JVM
+    # log file; mirror uncaught errors to the REAL console too so a
+    # failure isn't buried in megabytes of log4j output
+    import traceback
+    msg = "".join(traceback.format_exception(tp, val, tb))
+    os.write(_orig_stderr_fd, msg.encode("utf-8", "replace"))
+    sys.__excepthook__(tp, val, tb)
+
+
+sys.excepthook = _excepthook
 
 
 def _jvm_log_tail(offset: int) -> tuple[str, int]:

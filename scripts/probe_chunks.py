@@ -30,9 +30,10 @@ def main():
         "len+is_in+not_in+ncc": all_rules[1:5],
     }
     for name, rules in subsets.items():
+        # marker on stderr too so codegen errors (log4j -> stderr)
+        # can be attributed to the subset that triggered them
+        print(f"=== SUBSET {name} ===", file=sys.stderr, flush=True)
         print(f"=== SUBSET {name} ===", flush=True)
-        import sys as _s
-        print(f"=== SUBSET {name} ===", file=_s.stderr, flush=True)
         eng = vs.ValidationEngine(
             vs.RuleSet(rules=rules, modifiers=mods),
             key_cols=["conv_id", "turn_idx"], run_ts=e._RUN_TS)

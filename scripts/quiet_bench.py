@@ -57,7 +57,11 @@ def main():
                   out.stderr[-300:], flush=True)
             continue
         d = json.loads(line[-1])
-        gen = d["queries"].get("gen_turns_validate_3m")
+        gen = d.get("queries", {}).get("gen_turns_validate_3m")
+        if gen is None:
+            print("  parsed JSON lacks gen_turns_validate_3m — "
+                  "skipping run", flush=True)
+            continue
         flags = len(d.get("regressions", {}))
         print(f"  gen={gen}s flags={flags} suite={d['value']}s", flush=True)
         if best is None or (gen, flags) < (
@@ -95,7 +99,12 @@ def main():
             if start < 0:
                 print("  scaling produced no JSON", flush=True)
                 continue
-            d = json.loads(txt[start:])
+            try:
+                d = json.loads(txt[start:])
+            except json.JSONDecodeError as ex:
+                print(f"  scaling JSON unparseable ({ex}) — retrying",
+                      flush=True)
+                continue
             print(f"  eff_2_8={d['efficiency_2_to_8']} "
                   f"eff_8_32={d['efficiency_8_to_32']} "
                   f"tput={d['throughput_turns_per_sec']}", flush=True)

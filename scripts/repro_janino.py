@@ -1,8 +1,14 @@
 """Repro harness for the phase-2 Janino 64 KB codegen overflow.
 
-Runs the flagship turns_validation query cold on a fresh JVM and counts
-`Failed to compile` / `grows beyond 64 KB` occurrences in the JVM log,
-plus cold vs warm wall time. Run:  python scripts/repro_janino.py [sf_dir]
+Runs the flagship turns_validation query cold on a fresh JVM, printing
+cold vs warm wall time. Compile failures appear on STDERR (log4j) —
+run as:
+
+  python scripts/repro_janino.py [sf_dir] 2>&1 \
+      | grep -E "PASS|RESULT|Failed to compile|grows beyond"
+
+Zero `Failed to compile` lines = the fix holds. For an automated
+per-query count, use scripts/plan_audit.py (codegen_fallbacks column).
 """
 import sys
 import time

@@ -19,7 +19,11 @@ EPS = 1e-6
 def _run(stream_q, name):
     q = (stream_q.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(120), \
+            f"stream {name} did not finish within 120s"
+    finally:
+        q.stop()
 
 
 def test_stream_column_profile_matches_batch(spark, tmpdir):

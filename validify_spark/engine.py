@@ -268,9 +268,15 @@ class ValidationEngine:
             # Per-branch column pruning makes each branch's exchange
             # canonicalize differently, defeating ReuseExchange — so a
             # multi-chunk union would re-run the full phase-1 scan per
-            # chunk. localCheckpoint materializes the failing minority
-            # once; every branch reads the same blocks.
-            failing = failing.localCheckpoint(eager=False)
+            # chunk. persist() shares one materialization of the
+            # failing minority across every branch (the cache manager
+            # matches the canonicalized plan) while KEEPING lineage —
+            # unlike localCheckpoint, a lost executor recomputes the
+            # missing blocks instead of failing the whole query, which
+            # matters precisely in the huge-ruleset cluster regime
+            # this path serves.
+            from pyspark import StorageLevel
+            failing = failing.persist(StorageLevel.MEMORY_AND_DISK)
         out = project(chunks[0], emit_presence=True)
         for chunk_rules in chunks[1:]:
             out = out.unionByName(project(chunk_rules,

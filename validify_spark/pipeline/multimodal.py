@@ -128,6 +128,53 @@ def resize_media(df: DataFrame, width: int, height: int,
     return df.select(id_col, blob_col).mapInPandas(run, schema=out_schema)
 
 
+def decode_and_resize(df: DataFrame, width: int, height: int,
+                      id_col: str = "doc_id", blob_col: str = "blob",
+                      decode_fn: Optional[Callable[[bytes], dict]] = None,
+                      resize_fn: Optional[Callable[[bytes, int, int],
+                                                   bytes]] = None,
+                      strict: bool = False) -> DataFrame:
+    """Decode AND resize in ONE Arrow pass: where a pipeline needs both
+    outputs, composing decode_media + resize_media costs two full
+    mapInPandas passes over the blobs plus a join to recombine — this
+    fused operator reads each blob once and emits
+    (width, height, checksum, resized_checksum) together. Same stub
+    contract as the single-op versions."""
+    if strict and (decode_fn is None or resize_fn is None):
+        raise NotImplementedError(
+            "no media codec available in this environment; supply "
+            "decode_fn and resize_fn to decode_and_resize()")
+    dfn = decode_fn or _fake_decode
+
+    out_schema = (f"{id_col} long, width int, height int, "
+                  f"checksum string, resized_checksum string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, cs, rs = [], [], [], []
+            for b in pdf[blob_col]:
+                if b is None:
+                    ws.append(None); hs.append(None)
+                    cs.append(None); rs.append(None)
+                    continue
+                d = dfn(bytes(b))
+                ws.append(d["width"]); hs.append(d["height"])
+                cs.append(d["checksum"])
+                if resize_fn is not None:
+                    rs.append(hashlib.md5(
+                        resize_fn(bytes(b), width, height)).hexdigest())
+                else:
+                    rs.append(hashlib.md5(
+                        f"{d['checksum']}-{width}x{height}"
+                        .encode()).hexdigest())
+            yield pd.DataFrame({
+                id_col: pdf[id_col], "width": ws, "height": hs,
+                "checksum": cs, "resized_checksum": rs,
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=out_schema)
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id",
                      blob_col: str = "blob",
                      dim: int = IMAGE_FEATURES_DIM) -> DataFrame:
