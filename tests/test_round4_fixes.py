@@ -123,6 +123,44 @@ def test_chunking_emits_presence_violations_once(spark):
     assert len(required_rows) == 1 and required_rows[0].id == 1
 
 
+def test_chunking_with_presence_schema_and_missing_columns(spark):
+    """The full gating matrix under forced chunking: presence rules
+    gate every chunk, schema rules run in whatever chunk they land in,
+    and a rule naming an absent column emits per-row `required` —
+    all identical to the fused path."""
+    df = spark.createDataFrame(
+        [(1, "p", "abc", 5), (2, None, "abc", 5), (3, "p", "x", 50)],
+        "id int, pay string, s string, n int")
+    rules = [
+        vs.required("pay", stage="presence"),
+        vs.length("s", min=2, max=10),
+        vs.range_("n", min=0, max=10),
+        vs.regex("s", "a"),
+        vs.contains("s", "b"),
+        vs.schema_rule("NOT (n > 40 AND s = 'x')", code="combo"),
+        vs.length("ghost", min=1),  # absent column -> required
+    ]
+    eng = vs.ValidationEngine(vs.RuleSet(rules=rules), key_cols=["id"])
+    old = eng_mod._CHUNK_WEIGHT
+    eng_mod._CHUNK_WEIGHT = 2
+    try:
+        assert len(eng_mod._chunk_by_weight(
+            eng.ruleset.main_rules, 2)) >= 3
+        chunked = {_canon(r) for r in eng.violations(df).collect()}
+    finally:
+        eng_mod._CHUNK_WEIGHT = old
+    fused = {_canon(r) for r in
+             eng.violations(df, barrier=False).collect()}
+    assert chunked == fused
+    # presence-failing row 2 must carry ONLY its presence violation
+    # (presence failure suppresses later-stage rules for the row)
+    row2 = [c for c in chunked if c[0] == 2]
+    assert len(row2) == 1
+    # id 3: schema rule fired exactly once despite chunking
+    assert sum(1 for c in chunked
+               if c[0] == 3 and "combo" in c) == 1
+
+
 def test_duplicate_clusters_checkpoint_dir(spark, tmp_path):
     """Storage-backed label rounds: same clusters as the default
     localCheckpoint path, and per-round parquet actually written (the
