@@ -161,6 +161,50 @@ def test_chunking_with_presence_schema_and_missing_columns(spark):
                if c[0] == 3 and "combo" in c) == 1
 
 
+def test_chunked_equivalence_property(spark):
+    """Property test: for RANDOM rule subsets and chunk budgets, the
+    chunked phase-2 emits exactly the fused path's violations. Drawn
+    with hypothesis over a fixed rule pool (presence + scalar + regex +
+    schema + missing-column) so chunk boundaries land everywhere."""
+    from hypothesis import given, settings, strategies as st
+
+    pool = [
+        vs.required("pay", stage="presence"),
+        vs.length("s", min=2, max=8),
+        vs.range_("n", min=0, max=10),
+        vs.regex("s", "a"),
+        vs.contains("s", "b"),
+        vs.not_in("s", ["zz"]),
+        vs.schema_rule("NOT (n > 40)", code="big_n"),
+        vs.length("ghost", min=1),
+    ]
+    df = spark.createDataFrame(
+        [(1, "p", "abc", 5), (2, None, "ab", 50), (3, "p", "zz", -1),
+         (4, "p", None, None), (5, None, None, 3)],
+        "id int, pay string, s string, n int").localCheckpoint()
+
+    @settings(max_examples=6, deadline=None)
+    @given(mask=st.lists(st.booleans(), min_size=8, max_size=8),
+           budget=st.integers(min_value=1, max_value=5))
+    def prop(mask, budget):
+        rules = [r for r, keep in zip(pool, mask) if keep]
+        if not rules:
+            return
+        eng = vs.ValidationEngine(vs.RuleSet(rules=list(rules)),
+                                  key_cols=["id"])
+        old = eng_mod._CHUNK_WEIGHT
+        eng_mod._CHUNK_WEIGHT = budget
+        try:
+            chunked = {_canon(r) for r in eng.violations(df).collect()}
+        finally:
+            eng_mod._CHUNK_WEIGHT = old
+        fused = {_canon(r) for r in
+                 eng.violations(df, barrier=False).collect()}
+        assert chunked == fused, (mask, budget)
+
+    prop()
+
+
 def test_duplicate_clusters_checkpoint_dir(spark, tmp_path):
     """Storage-backed label rounds: same clusters as the default
     localCheckpoint path, and per-round parquet actually written (the

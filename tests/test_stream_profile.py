@@ -102,6 +102,32 @@ def test_stream_drift_matches_hand_computed(spark, tmpdir):
         assert abs(r.max_abs_diff - round(mad, 6)) < 1e-5
 
 
+def test_stream_length_drift_self_baseline_near_zero(spark, tmpdir):
+    """Length-bucket drift of a stream against ITS OWN batch histogram:
+    a window covering the whole data must show ~zero PSI (bucket keys
+    must line up exactly with checks/drift.length_histogram)."""
+    from validify_spark.checks import length_histogram
+    from validify_spark.streaming import stream_length_drift
+    # generate_turns plants far-future ts outliers (time-rule fodder);
+    # keep one contiguous year so a single window covers everything
+    turns = generate_turns(spark, 400, seed=3) \
+        .filter(F.col("ts").isNotNull()
+                & (F.col("ts") < "2025-01-01"))
+    src = f"{tmpdir}/lend_src"
+    turns.write.parquet(src)
+    batch = spark.read.parquet(src)
+    baseline = {r.bucket: r.p
+                for r in length_histogram(batch, "text",
+                                          bucket_size=20).collect()}
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    d = stream_length_drift(stream, "text", baseline, bucket_size=20,
+                            window="10 days", watermark="1 hour")
+    _run(d, "lend_stream")
+    rows = spark.table("lend_stream").collect()
+    assert len(rows) == 1 and rows[0].n_rows == batch.count()
+    assert rows[0].psi < 1e-4 and rows[0].kl < 1e-4, rows
+
+
 def test_stream_drift_flags_new_category(spark, tmpdir):
     """A category absent from the baseline lands in __other__ with a
     floored baseline probability — PSI must spike well above the

@@ -1,8 +1,10 @@
 from .dedup import stream_exact_dedup
-from .profile import stream_column_profile, stream_drift
+from .profile import (stream_column_profile, stream_drift,
+                      stream_length_drift)
 from .validate import (stream_ordering_violations,
                        stream_partition_metrics, stream_violations)
 
 __all__ = ["stream_violations", "stream_partition_metrics",
            "stream_ordering_violations", "stream_exact_dedup",
-           "stream_column_profile", "stream_drift"]
+           "stream_column_profile", "stream_drift",
+           "stream_length_drift"]

@@ -85,6 +85,25 @@ def stream_column_profile(df: DataFrame, columns: Sequence[str],
                     "m.approx_distinct", "m.min", "m.max"))
 
 
+def stream_length_drift(df: DataFrame, text_col: str,
+                        baseline: Mapping[str, float],
+                        bucket_size: int = 50,
+                        ts_col: str = "ts",
+                        window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Text-LENGTH histogram drift on a stream (north_star's third
+    histogram family): fixed-width char-length buckets, keyed the same
+    way as checks/drift.length_histogram (bucket id = floor(len/size)
+    as a string, NULL text → '__null__'), compared per window against a
+    batch baseline from that function. Thin composition over
+    stream_drift — the derived bucket column is stateless."""
+    bucket = F.floor(F.length(F.col(text_col)) / bucket_size) \
+              .cast("bigint").cast("string")
+    return stream_drift(
+        df.withColumn("__len_bucket", bucket), "__len_bucket",
+        baseline, ts_col=ts_col, window=window, watermark=watermark)
+
+
 def stream_drift(df: DataFrame, column: str,
                  baseline: Mapping[str, float],
                  ts_col: str = "ts",
