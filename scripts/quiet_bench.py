@@ -56,7 +56,12 @@ def main():
             print("  bench produced no JSON; stderr tail:",
                   out.stderr[-300:], flush=True)
             continue
-        d = json.loads(line[-1])
+        try:
+            d = json.loads(line[-1])
+        except json.JSONDecodeError as ex:
+            print(f"  bench JSON unparseable ({ex}) — retrying",
+                  flush=True)
+            continue
         gen = d.get("queries", {}).get("gen_turns_validate_3m")
         if gen is None:
             print("  parsed JSON lacks gen_turns_validate_3m — "
@@ -73,8 +78,7 @@ def main():
                 json.dump(d, f, indent=1)
             shutil.copy(os.path.join(REPO, "BENCH", "raw_passes.json"),
                         os.path.join(REPO, "BENCH", "raw_passes_r4.json"))
-        if gen is not None and gen <= args.accept_sec \
-                and flags <= args.max_flags:
+        if gen <= args.accept_sec and flags <= args.max_flags:
             print("  ACCEPTED", flush=True)
             break
         time.sleep(120)

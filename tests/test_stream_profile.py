@@ -28,11 +28,13 @@ def _run(stream_q, name):
 
 def test_stream_column_profile_matches_batch(spark, tmpdir):
     turns = generate_turns(spark, 800, seed=7) \
-        .filter(F.col("ts").isNotNull())
-    src = f"{tmpdir}/prof_src"
+        .filter(F.col("ts").isNotNull()) \
+        .withColumn("n", F.length("text"))  # multi-digit ints: typed
+    src = f"{tmpdir}/prof_src"               # min/max, not '10' < '2'
     turns.write.parquet(src)
-    stream = spark.readStream.schema(turns.schema).parquet(src)
-    prof = stream_column_profile(stream, ["role", "text"],
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    prof = stream_column_profile(stream, ["role", "text", "n"],
                                  window="1 hour", watermark="2 hours")
     _run(prof, "prof_stream")
     got = {(r.window_start, r.column):
@@ -42,12 +44,12 @@ def test_stream_column_profile_matches_batch(spark, tmpdir):
 
     batch = spark.read.parquet(src).withColumn(
         "w", F.window("ts", "1 hour"))
-    for c in ("role", "text"):
+    for c in ("role", "text", "n"):
         want = (batch.groupBy(F.col("w.start").alias("ws"))
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.sum(F.col(c).isNull().cast("long")).alias("nn"),
-                     F.min(F.col(c).cast("string")).alias("mn"),
-                     F.max(F.col(c).cast("string")).alias("mx"))
+                     F.min(F.col(c)).cast("string").alias("mn"),
+                     F.max(F.col(c)).cast("string").alias("mx"))
                 .collect())
         for r in want:
             g = got[(r.ws, c)]

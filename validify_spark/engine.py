@@ -53,6 +53,16 @@ _KIND_WEIGHT = {
 _CHUNK_WEIGHT = 24
 
 
+def _safe_unpersist(df) -> None:
+    """Finalizer target: unpersist a cached DataFrame, swallowing
+    errors from an already-stopped SparkSession (interpreter
+    shutdown ordering is arbitrary)."""
+    try:
+        df.unpersist(blocking=False)
+    except Exception:  # noqa: BLE001 — best-effort cleanup
+        pass
+
+
 def _chunk_by_weight(rules: list, budget: int) -> list:
     chunks, cur, w = [], [], 0
     for r in rules:
@@ -264,6 +274,7 @@ class ValidationEngine:
         # single projection — that path exists for semantics tests.
         chunks = (_chunk_by_weight(self.ruleset.main_rules, _CHUNK_WEIGHT)
                   if barrier else [self.ruleset.main_rules])
+        persisted = None
         if len(chunks) > 1:
             # Per-branch column pruning makes each branch's exchange
             # canonicalize differently, defeating ReuseExchange — so a
@@ -277,6 +288,7 @@ class ValidationEngine:
             # this path serves.
             from pyspark import StorageLevel
             failing = failing.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted = failing
         out = project(chunks[0], emit_presence=True)
         for chunk_rules in chunks[1:]:
             out = out.unionByName(project(chunk_rules,
@@ -288,6 +300,15 @@ class ValidationEngine:
                    .dropDuplicates(self.key_cols
                                    + ["location", "code", "_p"])
                    .drop("_p"))
+        if persisted is not None:
+            # release the cache when the caller drops the RETURNED
+            # DataFrame — repeated runs (distinct run_ts ⇒ distinct
+            # cached plans) would otherwise accumulate dead
+            # failing-row caches for the session's lifetime. Lineage
+            # is intact, so a derived consumer that outlives the
+            # result merely recomputes without the cache.
+            import weakref
+            weakref.finalize(out, _safe_unpersist, persisted)
         return out
 
     # -- row-level pass flag (for gating downstream pipelines) -------------

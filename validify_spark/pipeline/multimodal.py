@@ -164,8 +164,12 @@ def decode_and_resize(df: DataFrame, width: int, height: int,
                     rs.append(hashlib.md5(
                         resize_fn(bytes(b), width, height)).hexdigest())
                 else:
+                    # EXACTLY resize_media's stub: md5(md5(blob)||-WxH)
+                    # from the RAW bytes — not the decoder's checksum,
+                    # which a custom decode_fn may define differently
+                    inner = hashlib.md5(bytes(b)).hexdigest()
                     rs.append(hashlib.md5(
-                        f"{d['checksum']}-{width}x{height}"
+                        f"{inner}-{width}x{height}"
                         .encode()).hexdigest())
             yield pd.DataFrame({
                 id_col: pdf[id_col], "width": ws, "height": hs,

@@ -58,8 +58,11 @@ def stream_column_profile(df: DataFrame, columns: Sequence[str],
         aggs += [
             F.sum(col.isNull().cast("long")).alias(f"__null_{c}"),
             F.approx_count_distinct(c).alias(f"__dist_{c}"),
-            F.min(col.cast("string")).alias(f"__min_{c}"),
-            F.max(col.cast("string")).alias(f"__max_{c}"),
+            # TYPED min/max, cast after aggregation (checks/stats.py
+            # does the same): casting before would give lexicographic
+            # ordering — '10' < '2' — wrong for numeric/timestamp cols
+            F.min(col).cast("string").alias(f"__min_{c}"),
+            F.max(col).cast("string").alias(f"__max_{c}"),
         ]
     wide = (src
             .groupBy(F.window(F.col(ts_col), window).alias("w"))
@@ -127,6 +130,18 @@ def stream_drift(df: DataFrame, column: str,
     """
     if not baseline:
         raise ValueError("stream_drift needs a non-empty baseline")
+    if len(baseline) > 512:
+        # the single-streaming-aggregation design pays one conditional
+        # aggregate (plus one isin() entry) PER baseline bucket, per
+        # input row — linear per-row cost and ballooning codegen, the
+        # same 64 KB-class risk engine.py fights. Length-histogram
+        # baselines over long-text corpora are the usual offender:
+        # coarsen bucket_size (or pre-merge the tail into one bucket)
+        # before streaming.
+        raise ValueError(
+            f"stream_drift baseline has {len(baseline)} buckets "
+            "(max 512): coarsen the bucketing — each bucket costs a "
+            "conditional aggregate per input row in the streaming agg")
     buckets = sorted(set(baseline) | {null_bucket, other_bucket})
     known = [b for b in buckets if b not in (null_bucket, other_bucket)]
     src = _watermarked(df, ts_col, watermark)
