@@ -222,8 +222,16 @@ def test_duplicate_clusters_checkpoint_dir(spark, tmp_path):
                duplicate_clusters(pairs).collect()}
     assert stored == default
     assert {c for _, c in stored} == {0, 100}
-    round_dirs = glob.glob(os.path.join(ckpt, "clusters_r*"))
+    round_dirs = glob.glob(os.path.join(ckpt, "clusters_*_r*"))
     assert round_dirs, "expected per-round parquet label checkpoints"
+    # round files are namespaced per invocation (r4 ADVICE): a second
+    # run sharing the dir must not overwrite the first run's files
+    # (the first run's returned DF lazily re-reads its final round)
+    again = duplicate_clusters(pairs, checkpoint_dir=ckpt)
+    tokens = {os.path.basename(p).split("_")[1]
+              for p in glob.glob(os.path.join(ckpt, "clusters_*_r*"))}
+    assert len(tokens) == 2, f"expected two run tokens, got {tokens}"
+    assert {(r.doc_id, r.cluster_id) for r in again.collect()} == stored
 
 
 def test_nested_time_rule_parses_string_target(spark):

@@ -63,6 +63,14 @@ def _safe_unpersist(df) -> None:
         pass
 
 
+def _release_caches(caches: list) -> None:
+    """Finalizer target: drain + unpersist an engine's failing-row
+    caches (module-level so the engine's weakref.finalize holds no
+    reference back to the engine)."""
+    while caches:
+        _safe_unpersist(caches.pop())
+
+
 def _chunk_by_weight(rules: list, budget: int) -> list:
     chunks, cur, w = [], [], 0
     for r in rules:
@@ -110,6 +118,23 @@ class ValidationEngine:
         # one constant — deterministic within a run (SURVEY.md §4.2)
         self.run_ts = run_ts or _utcnow()
         self.dedup = dedup
+        # failing-row caches created by multi-chunk violations() runs.
+        # Lifetime is tied to the ENGINE (which the caller necessarily
+        # holds while consuming results), not to the returned DataFrame:
+        # a caller that chains `engine.violations(df).filter(...)` drops
+        # the returned wrapper immediately, and a finalizer on it would
+        # release the shared cache before the first action — making
+        # every union chunk re-run the full phase-1 scan.
+        self._phase_caches: list = []
+        import weakref
+        weakref.finalize(self, _release_caches, self._phase_caches)
+
+    def release_caches(self) -> None:
+        """Explicitly unpersist failing-row caches from prior
+        multi-chunk ``violations()`` runs. Optional — caches are also
+        released when the engine is garbage-collected; lineage stays
+        intact either way, so late consumers merely recompute."""
+        _release_caches(self._phase_caches)
 
     # -- normalization (modifiers) ----------------------------------------
     def normalize(self, df: DataFrame) -> DataFrame:
@@ -301,14 +326,13 @@ class ValidationEngine:
                                    + ["location", "code", "_p"])
                    .drop("_p"))
         if persisted is not None:
-            # release the cache when the caller drops the RETURNED
-            # DataFrame — repeated runs (distinct run_ts ⇒ distinct
-            # cached plans) would otherwise accumulate dead
-            # failing-row caches for the session's lifetime. Lineage
-            # is intact, so a derived consumer that outlives the
-            # result merely recomputes without the cache.
-            import weakref
-            weakref.finalize(out, _safe_unpersist, persisted)
+            # registered on the ENGINE's cache list — released when the
+            # engine is GC'd or release_caches() is called. Repeated
+            # runs (distinct run_ts ⇒ distinct engines ⇒ distinct
+            # cached plans) would otherwise accumulate dead failing-row
+            # caches for the session's lifetime. Lineage is intact, so
+            # a consumer that outlives the engine merely recomputes.
+            self._phase_caches.append(persisted)
         return out
 
     # -- row-level pass flag (for gating downstream pipelines) -------------

@@ -51,17 +51,34 @@ def _has_data_files(spark: SparkSession, d: str) -> bool:
     os.walk: Spark resolves ``d`` against the default filesystem, so
     on HDFS/S3 deployments a local walk would see nothing and silently
     mint n_violations=0 / passed=true markers that resume never
-    revisits — the exact false-pass this probe exists to prevent."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(d)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(path):
+    revisits — the exact false-pass this probe exists to prevent.
+
+    Under Spark Connect there is no py4j bridge (``spark._jvm`` /
+    ``_jsc`` don't exist), so the probe falls back to the binaryFile
+    source — same default-filesystem resolution, DataFrame-API only.
+    A missing path raises AnalysisException there, which is the
+    no-files answer, not an error."""
+    if getattr(spark, "_jsc", None) is not None:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(d)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return False
+        it = fs.listFiles(path, True)
+        while it.hasNext():
+            if it.next().getPath().getName().startswith("part-"):
+                return True
         return False
-    it = fs.listFiles(path, True)
-    while it.hasNext():
-        if it.next().getPath().getName().startswith("part-"):
-            return True
-    return False
+    from pyspark.errors import AnalysisException
+    try:
+        return not (spark.read.format("binaryFile")
+                    .option("pathGlobFilter", "part-*")
+                    .option("recursiveFileLookup", "true")
+                    .load(d)
+                    .select("path")
+                    .isEmpty())
+    except AnalysisException:
+        return False
 
 
 def _atomic_write_json(path: str, payload: dict) -> None:

@@ -190,12 +190,24 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     RuntimeError if the loop exhausts without converging (a silently
     split cluster would quietly keep duplicates downstream).
 
+    Round files are namespaced by a per-invocation token
+    (``clusters_<token>_r{N}``): the returned DataFrame is lazy and
+    keeps reading its final-round path, so a second run sharing the
+    same ``checkpoint_dir`` must not overwrite the first run's files
+    out from under it. Cleanup is the CALLER's responsibility — delete
+    the directory once every consumer of the returned labels is done
+    (the token makes concurrent runs safe, not free).
+
     Output: doc_id, cluster_id (only docs that appear in a pair)."""
+    import uuid
+
     spark = pairs.sparkSession
+    run_token = uuid.uuid4().hex[:12]
 
     def persist(df: DataFrame, name: str) -> DataFrame:
         if checkpoint_dir is not None:
-            path = f"{checkpoint_dir.rstrip('/')}/clusters_{name}"
+            path = (f"{checkpoint_dir.rstrip('/')}/"
+                    f"clusters_{run_token}_{name}")
             df.write.mode("overwrite").parquet(path)
             return spark.read.parquet(path)
         return df.localCheckpoint(eager=True)
