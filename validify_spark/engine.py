@@ -52,6 +52,36 @@ _KIND_WEIGHT = {
 # splits genuinely huge rulesets (~2x the flagship per chunk).
 _CHUNK_WEIGHT = 24
 
+# Measured backstop for the weight table above: the table is an
+# ESTIMATE (a `custom` rule weighs 2 regardless of how large the
+# caller's builder expression actually is, and future rule kinds
+# default to 2), so violations() additionally PROBES each packed
+# chunk's generated phase-2 code and keeps splitting while any
+# whole-stage-codegen unit exceeds this many source lines. The r4
+# failure threshold was ~14k generated lines (≈ Janino's 64 KB
+# bytecode method limit); 8k leaves 40% headroom, same bound the
+# flagship pytest enforces.
+_MAX_UNIT_LINES = 8000
+
+
+def _unit_line_counts(df) -> list:
+    """Source-line count of each whole-stage-codegen unit in ``df``'s
+    physical plan — the measured (not estimated) input to chunk
+    splitting. Returns [] when the probe is unavailable (Spark
+    Connect has no py4j bridge; debug codegen may be absent), which
+    disables the backstop but never breaks the query."""
+    try:
+        seq = df._jdf.queryExecution().debug().codegenToSeq()
+        out = []
+        for i in range(seq.size()):
+            body = seq.apply(i)._2()
+            if not isinstance(body, str):
+                body = body.body()
+            out.append(body.count("\n"))
+        return out
+    except Exception:  # noqa: BLE001 — probe is best-effort
+        return []
+
 
 def _safe_unpersist(df) -> None:
     """Finalizer target: unpersist a cached DataFrame, swallowing
@@ -238,6 +268,50 @@ class ValidationEngine:
             return C.empty_violations()
         return F.flatten(F.array(*arrays))
 
+    def _weights_untrusted(self) -> bool:
+        """True when the static _KIND_WEIGHT estimate cannot bound the
+        ruleset's generated-code size: a `custom` rule carries an
+        arbitrary caller builder (weight 2 regardless of its real
+        size), an unknown kind has no calibrated weight, and iter/
+        nested/map_values can wrap either."""
+        def untrusted(r) -> bool:
+            if r.kind == "custom" or r.kind not in _KIND_WEIGHT:
+                return True
+            inner = (r.params or {}).get("inner")
+            return inner is not None and untrusted(inner)
+        return any(untrusted(r) for r in self.ruleset.main_rules)
+
+    def _refine_chunk_measured(self, empty: DataFrame, carry, chunk_rules,
+                               emit_presence: bool) -> list:
+        """Split ``chunk_rules`` until its phase-2 projection's largest
+        whole-stage-codegen unit measures under _MAX_UNIT_LINES. A
+        single rule that alone exceeds the bound can't be split at this
+        level — warn and rely on Spark's expression splitting /
+        non-codegen fallback (which compile fine; the 64 KB hard
+        failure needs a fused multi-rule unit)."""
+        viol = self._violations_array(empty, rules=chunk_rules,
+                                      emit_presence=emit_presence)
+        probe = (empty.select(*carry, viol.alias("_v"))
+                 .select(*carry, F.explode("_v").alias("v"))
+                 .select(*carry, "v.*"))
+        units = _unit_line_counts(probe)
+        if not units or max(units) <= _MAX_UNIT_LINES:
+            return [chunk_rules]
+        if len(chunk_rules) == 1:
+            import warnings
+            warnings.warn(
+                f"rule {chunk_rules[0].kind} on "
+                f"{chunk_rules[0].column!r} alone generates a "
+                f"{max(units)}-line codegen unit (> {_MAX_UNIT_LINES}); "
+                "cannot chunk further — if Janino rejects it, Spark "
+                "falls back to interpreted eval for that branch")
+            return [chunk_rules]
+        mid = len(chunk_rules) // 2
+        return (self._refine_chunk_measured(
+                    empty, carry, chunk_rules[:mid], emit_presence)
+                + self._refine_chunk_measured(
+                    empty, carry, chunk_rules[mid:], emit_presence=False))
+
     def violations(self, df: DataFrame,
                    pre_normalized: bool = False,
                    extra_cols: Sequence[str] = (),
@@ -299,6 +373,23 @@ class ValidationEngine:
         # single projection — that path exists for semantics tests.
         chunks = (_chunk_by_weight(self.ruleset.main_rules, _CHUNK_WEIGHT)
                   if barrier else [self.ruleset.main_rules])
+        if barrier and self._weights_untrusted():
+            # measure, don't estimate: the weight table can't see how
+            # big a caller's custom builder really is, so verify each
+            # packed chunk's GENERATED code over an empty relation with
+            # the same schema (LocalTableScan + the chunk's projection
+            # only — exactly the code chunking controls, no AQE, no
+            # scan) and keep halving any chunk whose largest codegen
+            # unit exceeds _MAX_UNIT_LINES. Driver-side only, skipped
+            # entirely for rulesets of known-weight kinds.
+            empty = df.sparkSession.createDataFrame([], src.schema)
+            refined = []
+            first = True
+            for chunk_rules in chunks:
+                refined.extend(self._refine_chunk_measured(
+                    empty, carry, chunk_rules, emit_presence=first))
+                first = False
+            chunks = refined
         persisted = None
         if len(chunks) > 1:
             # Per-branch column pruning makes each branch's exchange
