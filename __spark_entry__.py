@@ -159,13 +159,28 @@ def q_turns_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_length(spark, sf_dir):
+    """Tagged union: the plain length scan PLUS merge-dedup semantics
+    (ValidationErrors::merge, error.rs:222-231). The dedup arm runs TWO
+    identical length rules — without ``dedup=True`` every failing row
+    would emit two violations (distinct rule_id, same natural key
+    (key, location, code, params)) and the arm would return 2x the
+    oracle's rows; dropDuplicates on the natural key collapses them to
+    exactly the single-rule result the oracle computes."""
     t = _load(spark, sf_dir, "customer")["customer"]
     eng = vs.ValidationEngine(
         vs.RuleSet(rules=[vs.length("c_name", min=1, max=17)]),
         key_cols=["c_custkey"])
-    v = eng.violations(t)
-    return v.select("c_custkey", "code",
-                    F.col("params")["actual"].alias("actual"))
+    plain = (eng.violations(t)
+             .select(F.lit("plain").alias("src"), "c_custkey", "code",
+                     F.col("params")["actual"].alias("actual")))
+    eng2 = vs.ValidationEngine(
+        vs.RuleSet(rules=[vs.length("c_name", min=1, max=17),
+                          vs.length("c_name", min=1, max=17)]),
+        key_cols=["c_custkey"], dedup=True)
+    deduped = (eng2.violations(t)
+               .select(F.lit("deduped").alias("src"), "c_custkey", "code",
+                       F.col("params")["actual"].alias("actual")))
+    return plain.unionByName(deduped)
 
 
 def q_range(spark, sf_dir):
@@ -1107,11 +1122,18 @@ def oracle_sql() -> dict[str, str]:
         "turns_validation": TURNS_RULESET_ORACLE,
 
         "length": """
-          SELECT c_custkey, 'length' AS code,
-                 CAST(length(c_name) AS STRING) AS actual
-          FROM customer
-          WHERE c_name IS NOT NULL
-            AND NOT (length(c_name) >= 1 AND length(c_name) <= 17)""",
+          -- plain arm, plus the merge-dedup arm: two identical rules
+          -- collapsed to the single-rule result (dedup=True on the
+          -- violation natural key) == the same SELECT tagged 'deduped'
+          WITH viol AS (
+            SELECT c_custkey, 'length' AS code,
+                   CAST(length(c_name) AS STRING) AS actual
+            FROM customer
+            WHERE c_name IS NOT NULL
+              AND NOT (length(c_name) >= 1 AND length(c_name) <= 17))
+          SELECT 'plain' AS src, * FROM viol
+          UNION ALL
+          SELECT 'deduped' AS src, * FROM viol""",
 
         "range": """
           SELECT l_orderkey, l_linenumber, 'range' AS code,
