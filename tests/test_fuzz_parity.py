@@ -1,0 +1,425 @@
+"""Ruleset fuzzer vs the DuckDB oracle (r4 verdict task #1).
+
+The 50 driver-checked queries each exercise one operator shape; the
+compiler's remaining risk is COMBINATORIAL — gates x presence gating x
+modifiers on the same column x chunking x iter nesting interacting.
+Each fuzz trial uses a seeded RNG to generate a random valid RuleSet
+(modifier chains, presence rules, gated main rules, ghost columns,
+iter-nested inners) over a real sf0.001 table, then lowers the SAME
+ruleset two independent ways:
+
+  1. the engine (``ValidationEngine.violations``), and
+  2. a mechanical translation to ANSI SQL run on DuckDB
+
+and asserts multiset equality of (key, location, code) violation rows.
+Every trial also asserts the full-row chunked (barrier=True) == fused
+(barrier=False) identity, extending test_round4_fixes' fixed-ruleset
+version to generated rulesets. Mirrors the combinatorial breadth of
+the reference's derive_tests/ (30 files of attribute mixes, e.g.
+complex.rs, validify.rs:422-559).
+
+Failures print the seed; rerun one with
+``SPARK_GRAFT_FUZZ_SEEDS=<seed> pytest tests/test_fuzz_parity.py``.
+Trial count: SPARK_GRAFT_FUZZ_N (default 200).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+import validify_spark as vs
+from validify_spark.rules import Rule, RuleSet
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Unicode White_Space set the trim modifier uses (modifiers.py)
+WS = ("\t\n\x0b\x0c\r \x85\xa0 "
+      + "".join(chr(c) for c in range(0x2000, 0x200B))
+      + "    　")
+
+TABLES = {
+    "customer": dict(
+        key="c_custkey",
+        strs=["c_name", "c_mktsegment"],
+        nums=["c_acctbal", "c_nationkey"],
+        ts=[],
+        gates=["c_custkey % 3 = 1", "c_acctbal > 5000.0",
+               "c_nationkey <= 12", "c_custkey % 2 = 0"],
+        contains={"c_name": ["Customer", "000", "xyz"],
+                  "c_mktsegment": ["BUILD", "build", "ZZZ", "MACH"]},
+        is_in={"c_name": [["Customer#000000001", "nobody"]],
+               "c_mktsegment": [["BUILDING", "MACHINERY"],
+                                ["AUTOMOBILE", "HOUSEHOLD", "FURNITURE"],
+                                ["building", "machinery"]]},
+    ),
+    "orders": dict(
+        key="o_orderkey",
+        strs=["o_orderstatus", "o_orderpriority"],
+        nums=["o_totalprice", "o_custkey"],
+        ts=["o_orderdate"],
+        gates=["o_orderkey % 5 < 2", "o_totalprice > 150000.0",
+               "o_custkey % 2 = 1"],
+        contains={"o_orderstatus": ["O", "F", "x"],
+                  "o_orderpriority": ["URGENT", "LOW", "1-", "zz"]},
+        is_in={"o_orderstatus": [["O", "F"], ["P"], ["o", "f"]],
+               "o_orderpriority": [["1-URGENT", "5-LOW"],
+                                   ["2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED"]]},
+    ),
+}
+
+REGEX_POOL = ["[0-9]{2}", "Customer", "BUILD|AUTO", "[A-Z]{5,}",
+              "^Cus", "t$", "e.g?"]
+MOD_KINDS = ["trim", "lowercase", "uppercase", "capitalize"]
+TS_TARGETS = [dt.datetime(1993, 6, 1), dt.datetime(1995, 1, 1),
+              dt.datetime(1997, 12, 31)]
+GHOST = "ghost_col"
+
+
+# ---------------------------------------------------------------------------
+# oracle-side SQL builders (mechanical mirrors of compiler.py semantics)
+# ---------------------------------------------------------------------------
+
+
+def sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def mod_sql(expr: str, kind: str) -> str:
+    if kind == "trim":
+        return f"trim({expr}, {sql_quote(WS)})"
+    if kind == "lowercase":
+        return f"lower({expr})"
+    if kind == "uppercase":
+        return f"upper({expr})"
+    if kind == "capitalize":
+        # first char upper, REST UNTOUCHED (modifiers._cap — not initcap)
+        return (f"CASE WHEN {expr} IS NULL THEN NULL ELSE "
+                f"upper(substr({expr}, 1, 1)) || substr({expr}, 2) END")
+    raise AssertionError(kind)
+
+
+def fail_sql(rule: Rule, m: str, other_m: str = None) -> str:
+    """DuckDB predicate: True ⇔ ``rule`` VIOLATES on the modified
+    column expression ``m``. Option semantics included (NULL passes
+    everything but required, compile_rule fields.rs:355-396)."""
+    p = rule.params
+    k = rule.kind
+    if k == "required":
+        return f"({m} IS NULL)"
+    nn = f"{m} IS NOT NULL AND "
+    if k == "length":
+        if p.get("equal") is not None:
+            return f"({nn}NOT (length({m}) = {p['equal']}))"
+        parts = []
+        if p.get("min") is not None:
+            parts.append(f"length({m}) >= {p['min']}")
+        if p.get("max") is not None:
+            parts.append(f"length({m}) <= {p['max']}")
+        return f"({nn}NOT ({' AND '.join(parts)}))"
+    if k == "range":
+        parts = []
+        if p.get("min") is not None:
+            parts.append(f"CAST({m} AS DOUBLE) >= {float(p['min'])!r}")
+        if p.get("max") is not None:
+            parts.append(f"CAST({m} AS DOUBLE) <= {float(p['max'])!r}")
+        return f"({nn}NOT ({' AND '.join(parts)}))"
+    if k == "regex":
+        return f"({nn}NOT regexp_matches({m}, {sql_quote(p['pattern'])}))"
+    if k == "non_control_char":
+        return f"({nn}regexp_matches({m}, '[\\x00-\\x1F\\x7F-\\x9F]'))"
+    if k == "contains":
+        return f"({nn}NOT contains({m}, {sql_quote(p['value'])}))"
+    if k == "contains_not":
+        return f"({nn}contains({m}, {sql_quote(p['value'])}))"
+    if k == "is_in":
+        vals = ", ".join(sql_quote(v) for v in p["values"])
+        return f"({nn}{m} NOT IN ({vals}))"
+    if k == "not_in":
+        vals = ", ".join(sql_quote(v) for v in p["values"])
+        return f"({nn}{m} IN ({vals}))"
+    if k == "must_match":
+        return f"({nn}{m} IS DISTINCT FROM {other_m})"
+    if k == "time":
+        t = p["target"]
+        ts = f"TIMESTAMP '{t.strftime('%Y-%m-%d %H:%M:%S')}'"
+        op = p["op"]
+        inc = bool(p.get("inclusive"))
+        cmp_ = {("before", False): "<", ("before", True): "<=",
+                ("after", False): ">", ("after", True): ">="}[(op, inc)]
+        return f"({nn}NOT ({m} {cmp_} {ts}))"
+    raise AssertionError(k)
+
+
+# ---------------------------------------------------------------------------
+# generator
+# ---------------------------------------------------------------------------
+
+
+def gen_rule(rng, spec, allow_ghost=True):
+    """One (Rule, oracle-info) pair for a random column/kind."""
+    kind_of_col = []
+    for c in spec["strs"]:
+        kind_of_col += [(c, k) for k in
+                        ("length", "regex", "contains", "contains_not",
+                         "is_in", "not_in", "required",
+                         "non_control_char", "must_match")]
+    for c in spec["nums"]:
+        kind_of_col += [(c, k) for k in ("range", "required")]
+    for c in spec["ts"]:
+        kind_of_col += [(c, k) for k in ("time", "required")]
+    if allow_ghost and rng.random() < 0.08:
+        col, kind = GHOST, rng.choice(["length", "required", "range"])
+    else:
+        col, kind = rng.choice(kind_of_col)
+
+    other = None
+    if kind == "length":
+        if rng.random() < 0.25:
+            r = vs.length(col, equal=rng.randint(1, 25))
+        else:
+            mn = rng.choice([None, rng.randint(0, 10)])
+            mx = rng.randint(10, 30)
+            r = vs.length(col, min=mn, max=mx)
+    elif kind == "range":
+        mn = rng.choice([None, float(rng.randint(-100, 500))])
+        mx = float(rng.randint(500, 200000))
+        r = vs.range_(col, min=mn, max=mx)
+    elif kind == "regex":
+        r = vs.regex(col, rng.choice(REGEX_POOL))
+    elif kind == "contains":
+        r = vs.contains(col, rng.choice(spec["contains"][col]))
+    elif kind == "contains_not":
+        r = vs.contains_not(col, rng.choice(spec["contains"][col]))
+    elif kind == "is_in":
+        r = vs.is_in(col, rng.choice(spec["is_in"][col]))
+    elif kind == "not_in":
+        r = vs.not_in(col, rng.choice(spec["is_in"][col]))
+    elif kind == "required":
+        r = vs.required(col)
+    elif kind == "non_control_char":
+        r = vs.non_control_char(col)
+    elif kind == "must_match":
+        other = rng.choice([c for c in spec["strs"] if c != col]
+                           or [col])
+        r = vs.must_match(col, other=other)
+    elif kind == "time":
+        op = rng.choice(["before", "after"])
+        r = vs.time(col, op, target=rng.choice(TS_TARGETS),
+                    inclusive=rng.random() < 0.5)
+    else:
+        raise AssertionError(kind)
+
+    if rng.random() < 0.35:
+        r = vs.Rule(kind=r.kind, column=r.column,
+                    params={**r.params, "_gate": rng.choice(spec["gates"])},
+                    stage=r.stage)
+    return r, other
+
+
+def gen_ruleset(rng, spec):
+    """(RuleSet, modifier-chains, iter-specs). Combinatorial on
+    purpose: presence rules (possibly ghost/gated), 2-12 main rules,
+    modifiers on the very columns rules read, sometimes an iter rule
+    over an array built from two string columns."""
+    mods, chains = [], {}
+    for c in spec["strs"]:
+        if rng.random() < 0.5:
+            chain = [rng.choice(MOD_KINDS)
+                     for _ in range(rng.randint(1, 3))]
+            chains[c] = chain
+            mods.extend(vs.Modifier(m, c) for m in chain)
+
+    rules = []
+    if rng.random() < 0.45:
+        for _ in range(rng.randint(1, 2)):
+            col = (GHOST if rng.random() < 0.15
+                   else rng.choice(spec["strs"] + spec["nums"]))
+            pr = vs.required(col, stage="presence")
+            if rng.random() < 0.3:
+                pr = vs.Rule(kind="required", column=col,
+                             params={"_gate": rng.choice(spec["gates"])},
+                             stage="presence")
+            rules.append(pr)
+
+    iter_specs = []
+    n_main = rng.randint(2, 12)
+    for _ in range(n_main):
+        if spec["strs"] and len(spec["strs"]) >= 2 and rng.random() < 0.12:
+            # iter over a 2-element array of the two string columns
+            inner_kind = rng.choice(["length", "contains", "regex"])
+            if inner_kind == "length":
+                inner = vs.length(None, min=rng.randint(0, 3),
+                                  max=rng.randint(5, 20))
+            elif inner_kind == "contains":
+                c0 = spec["strs"][0]
+                inner = vs.contains(None,
+                                    rng.choice(spec["contains"][c0]))
+            else:
+                inner = vs.regex(None, rng.choice(REGEX_POOL))
+            r = vs.iter_("arr", inner)
+            if rng.random() < 0.3:
+                r = vs.Rule(kind="iter", column="arr",
+                            params={**r.params,
+                                    "_gate": rng.choice(spec["gates"])})
+            rules.append(r)
+            iter_specs.append((r, inner))
+        else:
+            r, _other = gen_rule(rng, spec)
+            rules.append(r)
+    return RuleSet(rules=rules, modifiers=mods, name="fuzz"), chains
+
+
+# ---------------------------------------------------------------------------
+# oracle assembly
+# ---------------------------------------------------------------------------
+
+
+def build_oracle_sql(table, spec, ruleset, chains):
+    key = spec["key"]
+    all_cols = spec["strs"] + spec["nums"] + spec["ts"]
+    sel = [key] + [c for c in all_cols if c != key]
+    mod_exprs = {}
+    for c in all_cols:
+        e = c
+        for kind in chains.get(c, []):
+            e = mod_sql(e, kind)
+        mod_exprs[c] = f"({e})"
+    # m_<c> = modified view (what scalar rules see); r_<c> = raw (what
+    # the pre-normalization 'arr' column carries, so iter arms use it);
+    # raw numeric/key columns carried as-is for gate predicates.
+    cte_cols = ", ".join(
+        [key]
+        + [f"{mod_exprs[c]} AS m_{c}" for c in sel if c != key]
+        + [f"{c} AS r_{c}" for c in spec["strs"]]
+        + sorted({c for c in spec["nums"] if c != key}))
+    cte = (f"WITH src AS (SELECT {cte_cols} FROM "
+           f"'{SF_DIR}/{table}.parquet')")
+
+    def m(col):
+        return f"m_{col}" if col != key else key
+
+    def rule_fail(r):
+        if r.column == GHOST:
+            pred = "TRUE"  # missing column ⇒ every row fails
+        elif r.kind == "must_match":
+            pred = fail_sql(r, m(r.column), other_m=m(r.params["other"]))
+        else:
+            pred = fail_sql(r, m(r.column))
+        g = r.params.get("_gate")
+        if g is not None:
+            # gates reference raw numeric/key columns; CTE carries them
+            pred = f"COALESCE(({g}), FALSE) AND {pred}"
+        return f"COALESCE({pred}, FALSE)"
+
+    presence = ruleset.presence_rules
+    presence_ok = ("NOT (" + " OR ".join(rule_fail(r) for r in presence)
+                   + ")") if presence else "TRUE"
+
+    arms = []
+    for r in presence:
+        loc = f"/{r.column}"
+        code = "required"
+        arms.append(f"SELECT {key} AS k, '{loc}' AS location, "
+                    f"'{code}' AS code FROM src WHERE {rule_fail(r)}")
+    for r in ruleset.main_rules:
+        if r.kind == "iter":
+            inner = r.params["inner"]
+            g = r.params.get("_gate")
+            gate_sql = (f"COALESCE(({g}), FALSE) AND " if g else "")
+            for idx, c in enumerate(spec["strs"][:2]):
+                pred = fail_sql(inner, f"r_{c}")
+                arms.append(
+                    f"SELECT {key} AS k, '/arr/{idx}' AS location, "
+                    f"'{inner.effective_code}' AS code FROM src "
+                    f"WHERE {gate_sql}({presence_ok}) "
+                    f"AND COALESCE({pred}, FALSE)")
+            continue
+        loc = ("/" + GHOST) if r.column == GHOST else r.location
+        code = "required" if r.column == GHOST else r.effective_code
+        arms.append(f"SELECT {key} AS k, '{loc}' AS location, "
+                    f"'{code}' AS code FROM src "
+                    f"WHERE ({presence_ok}) AND {rule_fail(r)}")
+    return cte + "\n" + "\nUNION ALL\n".join(arms)
+
+
+# ---------------------------------------------------------------------------
+# the test
+# ---------------------------------------------------------------------------
+
+
+def _seeds():
+    env = os.environ.get("SPARK_GRAFT_FUZZ_SEEDS")
+    if env:
+        return [int(s) for s in env.split(",")]
+    n = int(os.environ.get("SPARK_GRAFT_FUZZ_N", "200"))
+    return list(range(n))
+
+
+@pytest.fixture(scope="module")
+def sources(spark):
+    out = {}
+    for t, spec in TABLES.items():
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        strs = spec["strs"]
+        df = df.withColumn("arr", F.array(*[F.col(c) for c in strs[:2]]))
+        out[t] = df.cache()
+        out[t].count()
+    yield out
+    for df in out.values():
+        df.unpersist()
+
+
+def _run_trial(spark, con, sources, seed):
+    rng = random.Random(seed)
+    table = rng.choice(list(TABLES))
+    spec = TABLES[table]
+    ruleset, chains = gen_ruleset(rng, spec)
+    key = spec["key"]
+
+    eng = vs.ValidationEngine(ruleset, key_cols=[key])
+    chunked = eng.violations(sources[table], barrier=True)
+    full_cols = [key, "rule_id", "location", "code",
+                 F.to_json("params").alias("p")]
+    chunked_rows = sorted(
+        tuple(str(x) for x in r)
+        for r in chunked.select(*full_cols).collect())
+
+    # 1. chunked == fused, full rows
+    fused_rows = sorted(
+        tuple(str(x) for x in r)
+        for r in eng.violations(sources[table], barrier=False)
+                    .select(*full_cols).collect())
+    assert chunked_rows == fused_rows, (
+        f"seed={seed}: chunked != fused "
+        f"({len(chunked_rows)} vs {len(fused_rows)} rows)")
+
+    # 2. engine == DuckDB oracle on (key, location, code)
+    got = sorted((int(r[0]), r[2], r[3]) for r in chunked_rows)
+    sql = build_oracle_sql(table, spec, ruleset, chains)
+    exp = sorted((int(k), loc, code)
+                 for k, loc, code in con.sql(sql).fetchall())
+    assert got == exp, (
+        f"seed={seed} table={table}: engine {len(got)} rows vs oracle "
+        f"{len(exp)}; first diffs: "
+        f"{[x for x in got if x not in exp][:5]} / "
+        f"{[x for x in exp if x not in got][:5]}\nruleset: "
+        f"{[(r.kind, r.column, r.stage, r.params.get('_gate')) for r in ruleset.rules]}"
+        f"\nchains: {chains}\nSQL:\n{sql}")
+
+
+@pytest.mark.parametrize("block", range(8))
+def test_fuzz_ruleset_parity(spark, sources, block):
+    """≥200 generated rulesets (8 blocks x 25), each checked engine-vs-
+    DuckDB and chunked-vs-fused. Blocks keep pytest granularity sane
+    while one seed failure pins the exact reproducer."""
+    con = duckdb.connect()
+    seeds = _seeds()
+    per = max(1, (len(seeds) + 7) // 8)
+    for seed in seeds[block * per:(block + 1) * per]:
+        _run_trial(spark, con, sources, seed)
