@@ -342,12 +342,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc (token-hash bit votes). One vectorized
-    Arrow batch UDF; everything around it stays in SQL.
-
-    Output: <id_col>, simhash (long)."""
+def simhash_udf():
+    """The 64-bit SimHash pandas UDF (token-hash bit votes), shared by
+    the batch fingerprint op and the streaming near-dup op so both
+    compute the IDENTICAL fingerprint — batch/stream parity is by
+    construction, not by re-implementation."""
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -391,7 +390,16 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
             out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
         return pd.Series(out, dtype="object")
 
-    return df.select(F.col(id_col), _simhash(F.col(text_col))
+    return _simhash
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc. One vectorized Arrow batch UDF;
+    everything around it stays in SQL.
+
+    Output: <id_col>, simhash (long)."""
+    return df.select(F.col(id_col), simhash_udf()(F.col(text_col))
                      .alias("simhash"))
 
 
