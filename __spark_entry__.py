@@ -137,16 +137,42 @@ def _turns_ruleset() -> vs.RuleSet:
     )
 
 
+# derived-turns materializations, keyed (applicationId, sf_dir): the
+# synthetic transcript table is deterministic INPUT (production would
+# read it from an Iceberg table), so derive + checkpoint it ONCE per
+# session and share the blocks across suite passes — repeated flagship
+# runs then measure the validation engine, not input synthesis (r4
+# verdict task #7). localCheckpoint blocks are executor-local, which
+# is exactly right for a single-session bench cache.
+_TURNS_CACHE: dict = {}
+
+
+def _derived_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    turns = _TURNS_CACHE.get(key)
+    if turns is None:
+        _load(spark, sf_dir, "lineitem")
+        # localCheckpoint: a materialization barrier so filter pushdown
+        # cannot substitute the derivation CASE expressions into all 8
+        # rule predicates (which would exceed Janino's 64 KB codegen
+        # limit and fall back to ~10x-slower interpreted eval).
+        # repartition first: the single-file lineitem scan yields ~3
+        # partitions, so without it every downstream flagship pass ran
+        # on 3 of 32 cores (measured: 5.3 s warm vs 1.8-2.2 s after —
+        # the classic single-file-parquet pitfall, and most of r4's
+        # 6 s flagship).
+        turns = (spark.sql(DERIVE_TURNS_SQL)
+                 .repartition(spark.sparkContext.defaultParallelism)
+                 .localCheckpoint(eager=True))
+        _TURNS_CACHE[key] = turns
+    return turns
+
+
 def q_turns_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: standard ruleset over the derived transcript table.
     Exercises modifiers (trim/lowercase), option semantics, and 8 rule
     kinds in one fused single-scan pass."""
-    _load(spark, sf_dir, "lineitem")
-    # localCheckpoint: a materialization barrier so filter pushdown
-    # cannot substitute the derivation CASE expressions into all 8 rule
-    # predicates (which would exceed Janino's 64 KB codegen limit and
-    # fall back to ~10x-slower interpreted eval)
-    turns = spark.sql(DERIVE_TURNS_SQL).localCheckpoint(eager=False)
+    turns = _derived_turns(spark, sf_dir)
     eng = vs.ValidationEngine(_turns_ruleset(),
                               key_cols=["conv_id", "turn_idx"],
                               run_ts=_RUN_TS)
@@ -1122,10 +1148,10 @@ def oracle_sql() -> dict[str, str]:
         "turns_validation": TURNS_RULESET_ORACLE,
 
         "length": """
-          -- plain arm, plus the merge-dedup arm: two identical rules
-          -- collapsed to the single-rule result (dedup=True on the
-          -- violation natural key) == the same SELECT tagged 'deduped'
           WITH viol AS (
+            -- plain arm, plus the merge-dedup arm: two identical rules
+            -- collapsed to the single-rule result (dedup=True on the
+            -- violation natural key) == the same SELECT tagged 'deduped'
             SELECT c_custkey, 'length' AS code,
                    CAST(length(c_name) AS STRING) AS actual
             FROM customer
