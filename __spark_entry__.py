@@ -495,14 +495,20 @@ def q_url(spark, sf_dir):
 
 
 def q_phone(spark, sf_dir):
-    """Phone validation (E.164; UDF tier) on synthesized numbers."""
+    """Phone validation (numbering-plan UDF tier) on synthesized
+    numbers. Cases 3-5 exercise the r5 vendored plan metadata: a
+    plan-invalid NANP exchange, an unassigned country code, and a
+    valid UK range that a bare shape check can't tell apart."""
     _load(spark, sf_dir, "events")
     t = spark.sql("""
       SELECT event_id,
-        CASE CAST(event_id % 3 AS INT)
+        CASE CAST(event_id % 6 AS INT)
           WHEN 0 THEN '+1 (415) 237-0800'
           WHEN 1 THEN '14152370800'
-          ELSE '+33642926829' END AS phone
+          WHEN 2 THEN '+33642926829'
+          WHEN 3 THEN '+1 999 123 4567'
+          WHEN 4 THEN '+999 12345678'
+          ELSE '+44 300 000 0000' END AS phone
       FROM events""")
     eng = vs.ValidationEngine(
         vs.RuleSet(rules=[vs.phone("phone")]), key_cols=["event_id"])
@@ -1361,7 +1367,7 @@ def oracle_sql() -> dict[str, str]:
 
         "phone": """
           SELECT event_id, 'phone' AS code FROM events
-          WHERE event_id % 3 = 1""",
+          WHERE event_id % 6 IN (1, 3, 4)""",
 
         "credit_card": """
           SELECT event_id, 'credit_card' AS code FROM events
