@@ -4,7 +4,7 @@ Polls /proc/stat steal; when a 30 s window shows steal <= 1.0%, runs
 the full bench. Accepts the run if the 3M-job headline is under
 --accept-sec (default 4.8 s, the known clean-host envelope) and at most
 --max-flags regression flags; otherwise sleeps and retries. Keeps the
-accepted JSON at BENCH/bench_r4_final.json (+ raw passes copy).
+accepted JSON at BENCH/bench_r5_final.json (+ raw passes copy).
 
 Usage: python scripts/quiet_bench.py [--rounds N] [--scaling]
 """
@@ -73,11 +73,11 @@ def main():
                 best["queries"]["gen_turns_validate_3m"],
                 len(best.get("regressions", {}))):
             best = d
-            with open(os.path.join(REPO, "BENCH", "bench_r4_final.json"),
+            with open(os.path.join(REPO, "BENCH", "bench_r5_final.json"),
                       "w") as f:
                 json.dump(d, f, indent=1)
             shutil.copy(os.path.join(REPO, "BENCH", "raw_passes.json"),
-                        os.path.join(REPO, "BENCH", "raw_passes_r4.json"))
+                        os.path.join(REPO, "BENCH", "raw_passes_r5.json"))
         if gen <= args.accept_sec and flags <= args.max_flags:
             print("  ACCEPTED", flush=True)
             break

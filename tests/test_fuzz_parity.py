@@ -79,6 +79,12 @@ MOD_KINDS = ["trim", "lowercase", "uppercase", "capitalize"]
 TS_TARGETS = [dt.datetime(1993, 6, 1), dt.datetime(1995, 1, 1),
               dt.datetime(1997, 12, 31)]
 GHOST = "ghost_col"
+# string-typed time target column (orders only): value parity is built
+# by IDENTICAL derivations both sides (date_format vs strftime), with
+# 1/13 rows unparseable to exercise the runtime-parse violation flavor
+TSTR_COL = "o_date_str"
+TSTR_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TSTR_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 
 # ---------------------------------------------------------------------------
@@ -146,10 +152,33 @@ def fail_sql(rule: Rule, m: str, other_m: str = None) -> str:
     if k == "must_match":
         return f"({nn}{m} IS DISTINCT FROM {other_m})"
     if k == "time":
-        t = p["target"]
-        ts = f"TIMESTAMP '{t.strftime('%Y-%m-%d %H:%M:%S')}'"
         op = p["op"]
         inc = bool(p.get("inclusive"))
+        if p.get("target_column"):
+            # string target parsed per row: parse failure OR failed
+            # comparison both violate with the op's code, so one arm
+            # covers both flavors (compiler._compile_time_string_target)
+            parsed = (f"try_strptime(r_{p['target_column']}, "
+                      f"'{TSTR_FMT_DUCK}')")
+            if op == "in_period":
+                d = int(p.get("interval_seconds", 0)) // 86400
+                cmp_ok = (f"{m} BETWEEN {parsed} AND "
+                          f"({parsed} + to_days({d}))")
+            else:
+                c_ = {("before", False): "<", ("before", True): "<=",
+                      ("after", False): ">",
+                      ("after", True): ">="}[(op, inc)]
+                cmp_ok = f"{m} {c_} {parsed}"
+            return (f"({nn}({parsed} IS NULL OR NOT ({cmp_ok})))")
+        t = p["target"]
+        if op == "in_period":
+            dur = dt.timedelta(seconds=p.get("interval_seconds", 0))
+            lo, hi = ((t, t + dur) if dur >= dt.timedelta(0)
+                      else (t + dur, t))
+            return (f"({nn}NOT ({m} BETWEEN TIMESTAMP "
+                    f"'{lo.strftime('%Y-%m-%d %H:%M:%S')}' AND "
+                    f"TIMESTAMP '{hi.strftime('%Y-%m-%d %H:%M:%S')}'))")
+        ts = f"TIMESTAMP '{t.strftime('%Y-%m-%d %H:%M:%S')}'"
         cmp_ = {("before", False): "<", ("before", True): "<=",
                 ("after", False): ">", ("after", True): ">="}[(op, inc)]
         return f"({nn}NOT ({m} {cmp_} {ts}))"
@@ -159,6 +188,18 @@ def fail_sql(rule: Rule, m: str, other_m: str = None) -> str:
 # ---------------------------------------------------------------------------
 # generator
 # ---------------------------------------------------------------------------
+
+
+def _gen_inner(rng, spec):
+    """Scalar inner rule (column=None) for iter/map_values nesting."""
+    inner_kind = rng.choice(["length", "contains", "regex"])
+    if inner_kind == "length":
+        return vs.length(None, min=rng.randint(0, 3),
+                         max=rng.randint(5, 20))
+    if inner_kind == "contains":
+        c0 = spec["strs"][0]
+        return vs.contains(None, rng.choice(spec["contains"][c0]))
+    return vs.regex(None, rng.choice(REGEX_POOL))
 
 
 def gen_rule(rng, spec, allow_ghost=True):
@@ -209,9 +250,24 @@ def gen_rule(rng, spec, allow_ghost=True):
                            or [col])
         r = vs.must_match(col, other=other)
     elif kind == "time":
-        op = rng.choice(["before", "after"])
-        r = vs.time(col, op, target=rng.choice(TS_TARGETS),
-                    inclusive=rng.random() < 0.5)
+        pick = rng.random()
+        if pick < 0.4:
+            op = rng.choice(["before", "after"])
+            r = vs.time(col, op, target=rng.choice(TS_TARGETS),
+                        inclusive=rng.random() < 0.5)
+        elif pick < 0.6:
+            r = vs.time(col, "in_period",
+                        target=rng.choice(TS_TARGETS),
+                        days=rng.choice([-3, 2, 7]))
+        else:
+            # string-typed target column, parsed per row (1/13 rows
+            # unparseable — exercises the parse-violation flavor)
+            op = rng.choice(["before", "after", "in_period"])
+            kw = dict(target_column=TSTR_COL, format=TSTR_FMT_SPARK)
+            if op == "in_period":
+                r = vs.time(col, op, days=rng.choice([1, 3, 10]), **kw)
+            else:
+                r = vs.time(col, op, inclusive=rng.random() < 0.5, **kw)
     else:
         raise AssertionError(kind)
 
@@ -250,18 +306,19 @@ def gen_ruleset(rng, spec):
     iter_specs = []
     n_main = rng.randint(2, 12)
     for _ in range(n_main):
+        if len(spec["strs"]) >= 2 and rng.random() < 0.08:
+            # map_values over a 2-key map of the two string columns
+            inner = _gen_inner(rng, spec)
+            r = vs.map_values_("mp", inner)
+            if rng.random() < 0.3:
+                r = vs.Rule(kind="map_values", column="mp",
+                            params={**r.params,
+                                    "_gate": rng.choice(spec["gates"])})
+            rules.append(r)
+            continue
         if spec["strs"] and len(spec["strs"]) >= 2 and rng.random() < 0.12:
             # iter over a 2-element array of the two string columns
-            inner_kind = rng.choice(["length", "contains", "regex"])
-            if inner_kind == "length":
-                inner = vs.length(None, min=rng.randint(0, 3),
-                                  max=rng.randint(5, 20))
-            elif inner_kind == "contains":
-                c0 = spec["strs"][0]
-                inner = vs.contains(None,
-                                    rng.choice(spec["contains"][c0]))
-            else:
-                inner = vs.regex(None, rng.choice(REGEX_POOL))
+            inner = _gen_inner(rng, spec)
             r = vs.iter_("arr", inner)
             if rng.random() < 0.3:
                 r = vs.Rule(kind="iter", column="arr",
@@ -293,11 +350,20 @@ def build_oracle_sql(table, spec, ruleset, chains):
     # m_<c> = modified view (what scalar rules see); r_<c> = raw (what
     # the pre-normalization 'arr' column carries, so iter arms use it);
     # raw numeric/key columns carried as-is for gate predicates.
+    aux = []
+    if spec["ts"]:
+        # same derivation as the Spark-side fixture column, DuckDB form
+        aux.append(
+            f"CASE WHEN {key} % 13 = 0 THEN 'not-a-date' "
+            f"ELSE strftime({spec['ts'][0]} + "
+            f"to_days(CAST({key} % 7 - 3 AS INT)), "
+            f"'{TSTR_FMT_DUCK}') END AS r_{TSTR_COL}")
     cte_cols = ", ".join(
         [key]
         + [f"{mod_exprs[c]} AS m_{c}" for c in sel if c != key]
         + [f"{c} AS r_{c}" for c in spec["strs"]]
-        + sorted({c for c in spec["nums"] if c != key}))
+        + sorted({c for c in spec["nums"] if c != key})
+        + aux)
     cte = (f"WITH src AS (SELECT {cte_cols} FROM "
            f"'{SF_DIR}/{table}.parquet')")
 
@@ -328,6 +394,18 @@ def build_oracle_sql(table, spec, ruleset, chains):
         arms.append(f"SELECT {key} AS k, '{loc}' AS location, "
                     f"'{code}' AS code FROM src WHERE {rule_fail(r)}")
     for r in ruleset.main_rules:
+        if r.kind == "map_values":
+            inner = r.params["inner"]
+            g = r.params.get("_gate")
+            gate_sql = (f"COALESCE(({g}), FALSE) AND " if g else "")
+            for mk, c in zip(("k1", "k2"), spec["strs"][:2]):
+                pred = fail_sql(inner, f"r_{c}")
+                arms.append(
+                    f"SELECT {key} AS k, '/mp/{mk}' AS location, "
+                    f"'{inner.effective_code}' AS code FROM src "
+                    f"WHERE {gate_sql}({presence_ok}) "
+                    f"AND COALESCE({pred}, FALSE)")
+            continue
         if r.kind == "iter":
             inner = r.params["inner"]
             g = r.params.get("_gate")
@@ -367,7 +445,20 @@ def sources(spark):
     for t, spec in TABLES.items():
         df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
         strs = spec["strs"]
-        df = df.withColumn("arr", F.array(*[F.col(c) for c in strs[:2]]))
+        df = (df
+              .withColumn("arr",
+                          F.array(*[F.col(c) for c in strs[:2]]))
+              .withColumn("mp", F.create_map(
+                  F.lit("k1"), F.col(strs[0]),
+                  F.lit("k2"), F.col(strs[1]))))
+        if spec["ts"]:
+            key, ts0 = spec["key"], spec["ts"][0]
+            df = df.withColumn(TSTR_COL, F.when(
+                F.col(key) % 13 == 0, F.lit("not-a-date")
+            ).otherwise(F.date_format(
+                F.col(ts0) + F.make_interval(
+                    days=(F.col(key) % 7 - 3).cast("int")),
+                TSTR_FMT_SPARK)))
         out[t] = df.cache()
         out[t].count()
     yield out
@@ -423,3 +514,54 @@ def test_fuzz_ruleset_parity(spark, sources, block):
     per = max(1, (len(seeds) + 7) // 8)
     for seed in seeds[block * per:(block + 1) * per]:
         _run_trial(spark, con, sources, seed)
+
+
+def _run_dedup_trial(spark, con, sources, seed):
+    """dedup=True merge semantics, fuzzed: base rules with UNIQUE
+    (column, kind) pairs (so distinct rules can never collide on the
+    violation natural key), a random subset literally duplicated —
+    the engine must collapse each duplicate back to one violation,
+    i.e. equal the oracle over the unique rules only."""
+    rng = random.Random(10_000 + seed)
+    table = rng.choice(list(TABLES))
+    spec = TABLES[table]
+    key = spec["key"]
+
+    seen, base = set(), []
+    for _ in range(rng.randint(3, 8)):
+        for _attempt in range(10):
+            r, _ = gen_rule(rng, spec, allow_ghost=False)
+            if r.kind in ("iter", "map_values"):
+                continue
+            if (r.column, r.kind) not in seen:
+                seen.add((r.column, r.kind))
+                base.append(r)
+                break
+    rules = list(base)
+    for r in base:
+        if rng.random() < 0.5:
+            rules.append(r)  # identical copy (same gate, same params)
+    rng.shuffle(rules)
+    ruleset = RuleSet(rules=rules, name="fuzzdedup")
+
+    eng = vs.ValidationEngine(ruleset, key_cols=[key], dedup=True)
+    got = sorted(
+        (int(r[0]), r[1], r[2])
+        for r in eng.violations(sources[table])
+                    .select(key, "location", "code").collect())
+    oracle_rs = RuleSet(rules=base, name="fuzzdedup")
+    sql = build_oracle_sql(table, spec, oracle_rs, chains={})
+    exp = sorted((int(k), loc, code)
+                 for k, loc, code in con.sql(sql).fetchall())
+    assert got == exp, (
+        f"dedup seed={seed} table={table}: {len(got)} vs {len(exp)}; "
+        f"rules={[(r.kind, r.column) for r in rules]}")
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_fuzz_dedup_merge(spark, sources, block):
+    """40 fuzzed dedup=True trials (r4 verdict task #6 beyond the one
+    oracle query): duplicated rules collapse on the natural key."""
+    con = duckdb.connect()
+    for seed in range(block * 20, block * 20 + 20):
+        _run_dedup_trial(spark, con, sources, seed)
