@@ -213,7 +213,10 @@ def gen_rule(rng, spec, allow_ghost=True):
     for c in spec["nums"]:
         kind_of_col += [(c, k) for k in ("range", "required")]
     for c in spec["ts"]:
-        kind_of_col += [(c, k) for k in ("time", "required")]
+        # time is weighted up: it has the most flavors to cover
+        # (literal before/after/in_period, string-target-column parse)
+        kind_of_col += [(c, k) for k in
+                        ("time", "time", "time", "time", "required")]
     if allow_ghost and rng.random() < 0.08:
         col, kind = GHOST, rng.choice(["length", "required", "range"])
     else:
