@@ -51,6 +51,9 @@ TABLES = {
         ts=[],
         gates=["c_custkey % 3 = 1", "c_acctbal > 5000.0",
                "c_nationkey <= 12", "c_custkey % 2 = 0"],
+        schema_preds=["c_acctbal + c_nationkey > 10.0",
+                      "c_custkey % 7 != 0",
+                      "c_nationkey < 20 OR c_acctbal < 0"],
         contains={"c_name": ["Customer", "000", "xyz"],
                   "c_mktsegment": ["BUILD", "build", "ZZZ", "MACH"]},
         is_in={"c_name": [["Customer#000000001", "nobody"]],
@@ -65,6 +68,9 @@ TABLES = {
         ts=["o_orderdate"],
         gates=["o_orderkey % 5 < 2", "o_totalprice > 150000.0",
                "o_custkey % 2 = 1"],
+        schema_preds=["o_totalprice > 1000.0",
+                      "o_orderkey % 11 != 3",
+                      "o_custkey < o_orderkey"],
         contains={"o_orderstatus": ["O", "F", "x"],
                   "o_orderpriority": ["URGENT", "LOW", "1-", "zz"]},
         is_in={"o_orderstatus": [["O", "F"], ["P"], ["o", "f"]],
@@ -210,6 +216,11 @@ def gen_rule(rng, spec, allow_ghost=True):
                         ("length", "regex", "contains", "contains_not",
                          "is_in", "not_in", "required",
                          "non_control_char", "must_match")]
+    # nested struct fields (st = struct(a=strs[0], b=strs[1]) in the
+    # fixture): dotted-path rules with /st/<field> locations
+    for path in (f"st.{f}" for f in ("a", "b")):
+        kind_of_col += [(path, k) for k in
+                        ("length", "regex", "required")]
     for c in spec["nums"]:
         kind_of_col += [(c, k) for k in ("range", "required")]
     for c in spec["ts"]:
@@ -332,6 +343,14 @@ def gen_ruleset(rng, spec):
         else:
             r, _other = gen_rule(rng, spec)
             rules.append(r)
+    if rng.random() < 0.3:
+        sr = vs.schema_rule(rng.choice(spec["schema_preds"]))
+        if rng.random() < 0.3:
+            sr = vs.Rule(kind="schema", column=None,
+                         params={**sr.params,
+                                 "_gate": rng.choice(spec["gates"])},
+                         code="schema")
+        rules.append(sr)
     return RuleSet(rules=rules, modifiers=mods, name="fuzz"), chains
 
 
@@ -370,7 +389,14 @@ def build_oracle_sql(table, spec, ruleset, chains):
     cte = (f"WITH src AS (SELECT {cte_cols} FROM "
            f"'{SF_DIR}/{table}.parquet')")
 
+    nested = {"st.a": spec["strs"][0], "st.b": spec["strs"][1]} \
+        if len(spec["strs"]) >= 2 else {}
+
     def m(col):
+        if col in nested:
+            # struct fields carry the PRE-normalization values (the
+            # struct is built before the engine's modifier pass)
+            return f"r_{nested[col]}"
         return f"m_{col}" if col != key else key
 
     def rule_fail(r):
@@ -421,6 +447,17 @@ def build_oracle_sql(table, spec, ruleset, chains):
                     f"WHERE {gate_sql}({presence_ok}) "
                     f"AND COALESCE({pred}, FALSE)")
             continue
+        if r.kind == "schema":
+            g = r.params.get("_gate")
+            gate_sql = (f"COALESCE(({g}), FALSE) AND " if g else "")
+            # NULL predicate result counts as failure (unknown ⇒ not
+            # proven ok, compile_schema_rule)
+            arms.append(
+                f"SELECT {key} AS k, '/' AS location, "
+                f"'{r.effective_code}' AS code FROM src "
+                f"WHERE {gate_sql}({presence_ok}) "
+                f"AND (({r.params['predicate']}) IS NOT TRUE)")
+            continue
         loc = ("/" + GHOST) if r.column == GHOST else r.location
         code = "required" if r.column == GHOST else r.effective_code
         arms.append(f"SELECT {key} AS k, '{loc}' AS location, "
@@ -453,7 +490,10 @@ def sources(spark):
                           F.array(*[F.col(c) for c in strs[:2]]))
               .withColumn("mp", F.create_map(
                   F.lit("k1"), F.col(strs[0]),
-                  F.lit("k2"), F.col(strs[1]))))
+                  F.lit("k2"), F.col(strs[1])))
+              .withColumn("st", F.struct(
+                  F.col(strs[0]).alias("a"),
+                  F.col(strs[1]).alias("b"))))
         if spec["ts"]:
             key, ts0 = spec["key"], spec["ts"][0]
             df = df.withColumn(TSTR_COL, F.when(
