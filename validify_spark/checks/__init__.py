@@ -5,6 +5,7 @@ invariants. Each is a separate composable job over the shared scan
 (SURVEY.md §2.8)."""
 
 from .stats import stats_profile, stats_profile_exact
+from .tdigest import tdigest_quantiles
 from .uniqueness import uniqueness_violations
 from .referential import referential_orphans
 from .drift import categorical_histogram, drift_report, length_histogram
@@ -12,7 +13,8 @@ from .ordering import ordering_violations
 from .skew import salted_agg, salted_collect_list, with_salt
 
 __all__ = [
-    "stats_profile", "stats_profile_exact", "uniqueness_violations",
+    "stats_profile", "stats_profile_exact", "tdigest_quantiles",
+    "uniqueness_violations",
     "referential_orphans", "categorical_histogram", "length_histogram",
     "drift_report", "ordering_violations",
     "salted_agg", "salted_collect_list", "with_salt",
