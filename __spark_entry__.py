@@ -1005,6 +1005,20 @@ def q_stats_profile_sketch(spark, sf_dir):
     return stats_profile(t, ["l_quantity", "l_partkey"])
 
 
+def q_stats_tdigest(spark, sf_dir):
+    """Distributed t-digest quantiles (the north_star's named sketch;
+    checks/tdigest.py) — approximate by design, rows-only check; the
+    <1% rank-error bound is pytest-gated (tests/test_tdigest.py)."""
+    from validify_spark.checks import tdigest_quantiles
+    t = _load(spark, sf_dir, "events")["events"]
+    q = tdigest_quantiles(t, "value",
+                          probs=[0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+                          fanout=4)
+    return spark.createDataFrame(
+        [(float(p), float(v)) for p, v in sorted(q.items())],
+        "prob double, value double")
+
+
 def q_credit_card(spark, sf_dir):
     """Luhn + brand check — pure Catalyst higher-order funcs.
 
@@ -1087,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_recall": q_ann_recall,
         "stats_profile_sketch": q_stats_profile_sketch,
+        "stats_tdigest": q_stats_tdigest,
     }
 
 
