@@ -371,9 +371,16 @@ class ValidationEngine:
         # Chunking needs the barrier (without it each branch would
         # re-run the full scan), so barrier=False keeps the fused
         # single projection — that path exists for semantics tests.
+        # Streaming input keeps the fused single projection: the
+        # multi-chunk path shares the failing minority via persist(),
+        # which streaming DataFrames don't support, and K union
+        # branches without it would re-run the phase-1 scan K times
+        # EVERY micro-batch. Micro-batches are small relative to a
+        # batch backfill, so the fused phase-2 is the right trade.
         chunks = (_chunk_by_weight(self.ruleset.main_rules, _CHUNK_WEIGHT)
-                  if barrier else [self.ruleset.main_rules])
-        if barrier and self._weights_untrusted():
+                  if barrier and not df.isStreaming
+                  else [self.ruleset.main_rules])
+        if barrier and not df.isStreaming and self._weights_untrusted():
             # measure, don't estimate: the weight table can't see how
             # big a caller's custom builder really is, so verify each
             # packed chunk's GENERATED code over an empty relation with
