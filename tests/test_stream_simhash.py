@@ -83,6 +83,97 @@ def test_ttl_bounds_matchable_history(spark, tmpdir):
     assert got == set(), f"stale fingerprint matched: {got}"
 
 
+def test_corpus_parity_500_docs(spark, tmpdir):
+    """Full 500-doc testdata corpus streamed in 2 micro-batches must
+    reproduce the batch pair set exactly — the bucket-collision /
+    multi-band regime a handful of crafted docs can't reach."""
+    docs = (spark.read
+            .parquet("/root/testdata/sf0.001/documents.parquet")
+            .withColumn("ts", F.to_timestamp(F.lit("2024-01-01")) +
+                        F.make_interval(
+                            secs=F.col("doc_id").cast("double"))))
+    src = f"{tmpdir}/corpus_src"
+    docs.where("doc_id < 250").coalesce(1) \
+        .write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    docs.where("doc_id >= 250").coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_simhash_pairs(stream, ts_col="ts", ttl="1 hour")
+         .writeStream.format("memory").queryName("sh_corpus")
+         .option("checkpointLocation", f"{tmpdir}/corpus_ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in spark.sql("SELECT * FROM sh_corpus").collect()}
+    batch = {(r.id_a, r.id_b, r.hamming)
+             for r in simhash_pairs(docs).collect()}
+    assert got == batch
+    assert len(batch) > 500  # the corpus is genuinely dup-heavy
+
+
+def test_rejects_unbandable_threshold_and_string_ids(spark):
+    import pytest as _pytest
+    df = (spark.range(3)
+          .select(F.col("id").alias("doc_id"),
+                  F.lit("x").alias("text")))
+    with _pytest.raises(ValueError, match="recall guarantee"):
+        stream_simhash_pairs(
+            spark.readStream.format("rate").load()
+            .withColumnRenamed("value", "doc_id")
+            .withColumn("text", F.lit("x")), max_hamming=5)
+    sdf = (spark.readStream.format("rate").load()
+           .withColumn("doc_id", F.col("value").cast("string"))
+           .withColumn("text", F.lit("x")))
+    with _pytest.raises(ValueError, match="integral"):
+        stream_simhash_pairs(sdf)
+
+
+def test_bucket_local_pruning_cannot_starve_lowest_band(spark, tmpdir):
+    """Round-5 review regression: buckets prune on their own local
+    clocks, so an unrelated newer doc ('collider', precomputed offline
+    to share BASE's band-0 bucket while differing on bands 1-3,
+    hamming 19) used to evict a fingerprint from the pair's LOWEST
+    matching band while it survived in higher bands — where the pair
+    was then suppressed by the lowest-band rule. Physical retention of
+    ttl + watermark (match window still ttl) keeps the partner alive
+    in every band for any in-watermark arrival."""
+    collider = "w13851a w13851b w13851c w13851d w13851e"
+    b1 = [(1, BASE, "2024-01-01T00:00:00")]
+    b2 = [(2, collider, "2024-01-01T02:00:00")]  # advances band-0 only
+    b3 = [(3, BASE, "2024-01-01T00:30:00")]      # late, within ttl of 1
+    got = _run_stream(spark, tmpdir, "sh_starve", [b1, b2, b3],
+                      ttl="1 hour", watermark="2 hours")
+    assert (1, 3, 0) in got, got
+
+
+def test_redelivered_id_emits_pair_once(spark, tmpdir):
+    """At-least-once sources re-deliver: the same (doc_id, text) in two
+    micro-batches must not double the state entry, or every later
+    near-dup of it would emit its pair twice."""
+    b1 = [(1, BASE, "2024-01-01T00:00:00")]
+    b2 = [(1, BASE, "2024-01-01T00:00:00")]      # re-delivery
+    b3 = [(9, BASE, "2024-01-01T00:05:00")]
+    src = f"{tmpdir}/redeliver_src"
+    schema = None
+    for b in [b1, b2, b3]:
+        df = _mk(spark, b)
+        schema = df.schema
+        df.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_simhash_pairs(stream, ts_col="ts")
+         .writeStream.format("memory").queryName("sh_redeliver")
+         .option("checkpointLocation", f"{tmpdir}/redeliver_ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    rows = [(r.id_a, r.id_b, r.hamming) for r in
+            spark.sql("SELECT * FROM sh_redeliver").collect()]
+    assert rows == [(1, 9, 0)], rows
+
+
 def test_within_batch_pairs_no_cross_band_dupes(spark, tmpdir):
     """Identical fingerprints agree on ALL four bands — lowest-band
     suppression must still emit the pair exactly once (memory sink

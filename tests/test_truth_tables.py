@@ -123,6 +123,8 @@ PHONE_PLAN_CASES = [
     ("+33 123456789012", False),  # FR national number is 9 digits
     ("+65 1234 5678", False),     # SG numbers start 3/6/8/9
     ("+86 13912345678", True),    # CN mobile 1[3-9] + 9 digits
+    ("+61 13 24 58", True),       # AU 6-digit shared-cost 13-number
+    ("+65 1800 123 4567", True),  # SG 11-digit toll-free
 ]
 
 # Per-RANGE assignments are beyond the vendored generalDesc subset:

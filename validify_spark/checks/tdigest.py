@@ -135,14 +135,22 @@ def tdigest_quantiles(df: DataFrame, column: str,
 
     def build(iterator):
         import pandas as pd
+        # merge across the partition's Arrow batches and yield ONE
+        # digest per partition — per-batch digests would inflate the
+        # collected count by rows_per_partition/maxRecordsPerBatch and
+        # break the "driver merges a handful of survivors" bound
+        parts = []
         for pdf in iterator:
             d = _digest_of(pdf[column].to_numpy(dtype=np.float64),
                            comp)
             if d is not None:
-                yield pd.DataFrame({
-                    "part": [0], "means": [list(d[0])],
-                    "weights": [list(d[1])], "lo": [d[2]],
-                    "hi": [d[3]]})
+                parts.append(d)
+        d = _merge_digests(parts, comp)
+        if d is not None:
+            yield pd.DataFrame({
+                "part": [0], "means": [list(d[0])],
+                "weights": [list(d[1])], "lo": [d[2]],
+                "hi": [d[3]]})
 
     digests = (df.select(F.col(column).cast("double").alias(column))
                .mapInPandas(build, _DIGEST_SCHEMA))

@@ -425,12 +425,15 @@ class ValidationEngine:
                    .drop("_p"))
         if persisted is not None:
             # registered on the ENGINE's cache list — released when the
-            # engine is GC'd or release_caches() is called. Repeated
-            # runs (distinct run_ts ⇒ distinct engines ⇒ distinct
-            # cached plans) would otherwise accumulate dead failing-row
-            # caches for the session's lifetime. Lineage is intact, so
-            # a consumer that outlives the engine merely recomputes.
+            # engine is GC'd or release_caches() is called, and bounded
+            # to the 2 most recent: a long-lived engine driving
+            # violations() in a loop must not accumulate one persist
+            # per call for its lifetime. Lineage is intact everywhere,
+            # so a consumer holding an older result merely recomputes
+            # once its cache is rotated out.
             self._phase_caches.append(persisted)
+            while len(self._phase_caches) > 2:
+                _safe_unpersist(self._phase_caches.pop(0))
         return out
 
     # -- row-level pass flag (for gating downstream pipelines) -------------

@@ -427,7 +427,17 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     recoverable: a lost executor recomputes from the files. The default
     localCheckpoint keeps blocks on executors only — fine locally and
     in tests, but on a 40-hour 1000-executor run a lost executor fails
-    the job instead of recovering; pass a durable dir there."""
+    the job instead of recovering; pass a durable dir there.
+
+    Banding adapts to the threshold (r5 review): pigeonhole needs
+    ``max_hamming + 1`` disjoint bit groups to GUARANTEE a shared band
+    at distance ``max_hamming`` — the previous fixed 4x16 silently
+    missed d>3 pairs whose differing bits spread one-per-band. At the
+    default d<=3 this is the same 4x16 split (same plan, same cost);
+    larger thresholds trade narrower bands (bigger buckets) for exact
+    recall, which is the honest trade at 100 TB too."""
+    n_bands = max(4, int(max_hamming) + 1)
+    width = 64 // n_bands
     fp = simhash_fingerprints(df, id_col, text_col)
     if checkpoint_dir is not None:
         path = checkpoint_dir.rstrip("/") + "/simhash_fp"
@@ -435,14 +445,16 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
         fp = df.sparkSession.read.parquet(path)
     else:
         fp = fp.localCheckpoint(eager=False)
-    # ONE fingerprint scan: the 4 band values in a single posexploded
+    # ONE fingerprint scan: all band values in a single posexploded
     # projection, self-joined on (band, bucket) — replaces the union of
-    # 4 per-band branches (8 scans of fp) with 2 scans of one relation
-    bands = F.array(*[
-        F.shiftrightunsigned(F.col("simhash"), 16 * b)
-         .bitwiseAND(F.lit(0xFFFF))
-        for b in range(4)
-    ])
+    # per-band branches (2*n_bands scans of fp) with 2 scans of one
+    # relation. The last band absorbs the remainder bits of 64.
+    def _band(b: int):
+        w = width if b < n_bands - 1 else 64 - width * (n_bands - 1)
+        return (F.shiftrightunsigned(F.col("simhash"), width * b)
+                .bitwiseAND(F.lit((1 << w) - 1)))
+
+    bands = F.array(*[_band(b) for b in range(n_bands)])
     fb = fp.select(id_col, "simhash",
                    F.posexplode(bands).alias("__b", "bucket"))
     left = fb.select(F.col(id_col).alias("id_a"),

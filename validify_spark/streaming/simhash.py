@@ -13,7 +13,8 @@ Scale shape (100 TB/day ingest): fingerprinting is one Arrow UDF pass
 per micro-batch (the SAME pandas UDF as the batch op — parity by
 construction); state is partitioned over 4 x 2^16 (band, bucket)
 groups, each holding only fingerprints (24 bytes/doc) seen within
-``ttl`` of that bucket's newest event, pruned every batch; candidate
+``ttl + watermark`` of that bucket's newest event, pruned every batch
+(the match window itself is ``ttl``); candidate
 verification is a vectorized numpy xor+popcount against just the
 bucket's members. No shuffle beyond the groupBy(band, bucket) that any
 stateful operator needs.
@@ -49,10 +50,24 @@ def stream_simhash_pairs(stream_df: DataFrame,
     locally and deterministically (the distributed analog of the batch
     op's ``.distinct()``).
 
-    With ``ts_col``: input gets ``withWatermark(ts_col, watermark)``
-    and state is pruned to fingerprints within ``ttl`` of the bucket's
-    newest event — bounded state, the ingest path. Without it, state
-    grows with distinct fingerprints (tests/small streams only).
+    With ``ts_col``: input gets ``withWatermark(ts_col, watermark)``,
+    the MATCH window is ``ttl`` relative to each arriving doc's event
+    time, and physical state retention is ``ttl + watermark`` behind
+    each bucket's newest event. The extra ``watermark`` of retention is
+    what keeps lowest-band suppression sound: buckets prune on their
+    own local clocks (an unrelated newer doc advances one bucket but
+    not another), so an entry must survive in EVERY band's bucket for
+    as long as an in-watermark arrival could still pair with it —
+    otherwise a pair could be pruned from its lowest matching band yet
+    suppressed in a higher one. Without ``ts_col`` state grows with
+    distinct fingerprints (tests/small streams only).
+
+    ``id_col`` must be integral (the 24-byte/doc state packs ids as
+    longs); re-delivered ids (at-least-once sources) are ignored after
+    first sight — first-wins, matching stream_exact_dedup. Pairs with
+    out-of-watermark stragglers follow watermark semantics: data later
+    than the watermark has no delivery guarantee anywhere in Structured
+    Streaming, and may likewise be missed here.
 
     Output (append mode): id_a, id_b (id_a < id_b), hamming — the
     batch ``simhash_pairs`` schema, so a stream over the same docs
@@ -61,13 +76,33 @@ def stream_simhash_pairs(stream_df: DataFrame,
     import numpy as np
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    ttl_us = None
-    if ts_col is not None and ttl is not None:
-        qty, unit = ttl.split()
-        ttl_us = int(qty) * {
+    if max_hamming > _N_BANDS - 1:
+        # pigeonhole recall guarantee: d <= bands-1 collides on >= 1
+        # band; a larger threshold would SILENTLY miss pairs whose
+        # bits spread one-per-band
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the {_N_BANDS}-band "
+            f"recall guarantee (<= {_N_BANDS - 1}); raise the band "
+            "count, not the threshold")
+    id_type = dict(stream_df.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"{id_col!r} must be an integral column for the packed "
+            f"fingerprint state (got {id_type}); hash or dictionary-"
+            "encode string ids upstream")
+
+    def _dur_us(spec: str) -> int:
+        qty, unit = spec.split()
+        return int(qty) * {
             "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
             "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
         }[unit] * 1_000_000
+
+    ttl_us = None
+    retain_us = None
+    if ts_col is not None and ttl is not None:
+        ttl_us = _dur_us(ttl)
+        retain_us = ttl_us + _dur_us(watermark)
 
     src = stream_df
     if ts_col is not None:
@@ -114,9 +149,15 @@ def stream_simhash_pairs(stream_df: DataFrame,
                    if len(frames) > 1 else frames[0])
             # deterministic arrival order within the batch
             pdf = pdf.sort_values(["__ts_us", "__id"], kind="stable")
+            known = set(ids)
             for did, fp, ts_us in zip(pdf["__id"], pdf["simhash"],
                                       pdf["__ts_us"]):
                 did, fp, ts_us = int(did), int(fp), int(ts_us)
+                if did in known:
+                    # at-least-once re-delivery: first sight wins (a
+                    # second state entry would double-emit every later
+                    # pair involving this id)
+                    continue
                 if fps:
                     prev = np.array(fps, dtype=np.int64) \
                         .view(np.uint64)
@@ -134,10 +175,11 @@ def stream_simhash_pairs(stream_df: DataFrame,
                     hit = np.nonzero(ok)[0]
                     if len(hit):
                         # lowest-matching-band suppression: emit only
-                        # if no band < this one also matches
+                        # if no band < this one also matches (sound
+                        # because retention = ttl + watermark keeps the
+                        # partner alive in EVERY matching band for any
+                        # in-watermark arrival — see docstring)
                         for i in hit:
-                            if ids[i] == did:
-                                continue
                             pfp = np.uint64(fps[i] & (2**64 - 1))
                             first = next(
                                 k for k in range(_N_BANDS)
@@ -152,8 +194,15 @@ def stream_simhash_pairs(stream_df: DataFrame,
                 ids.append(did)
                 fps.append(fp)
                 tss.append(ts_us)
-            if ttl_us is not None and tss:
-                cutoff = max(tss) - ttl_us
+                known.add(did)
+            if retain_us is not None and tss:
+                # physical retention = ttl + watermark behind THIS
+                # bucket's local clock (match window stays ttl via the
+                # per-row mask above): retention must outlast any
+                # in-watermark arrival that could still pair with an
+                # entry, or bucket-local pruning would break the
+                # lowest-band suppression invariant
+                cutoff = max(tss) - retain_us
                 keep = [i for i, t in enumerate(tss) if t >= cutoff]
                 ids = [ids[i] for i in keep]
                 fps = [fps[i] for i in keep]

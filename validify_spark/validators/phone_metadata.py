@@ -23,7 +23,11 @@ tests/test_truth_tables.py::test_phone_per_range_boundary): coarse
 patterns cannot see per-range assignments, e.g. NANP area code 999 is
 unassigned but matches ``[2-9]\\d{2}``; full libphonenumber metadata
 (the `phonenumbers` package, when installable) closes that and the
-seam in udf_tier switches to it automatically.
+seam in udf_tier switches to it automatically. Within the subset the
+patterns err toward OVER-acceptance (the same direction as that
+documented boundary, so the xfail stays the single record of the
+gap): service/short ranges are included where they change the length
+set (AU 13/1300/1800, SG 800/1800), never excluded by guess.
 """
 
 from __future__ import annotations
@@ -79,7 +83,7 @@ class _Plan:
 PLAN = {
     # NANP: NXX-NXX-XXXX — area and exchange codes start 2-9
     "1": _Plan({10}, r"[2-9]\d{2}[2-9]\d{6}"),
-    "7": _Plan({10}, r"[3489]\d{9}"),            # RU/KZ
+    "7": _Plan({10}, r"[3-9]\d{9}"),             # RU/KZ
     "20": _Plan({8, 9, 10}, r"[1-9]\d{7,9}"),    # EG
     "27": _Plan({9}, r"[1-9]\d{8}"),             # ZA
     "31": _Plan({9}, r"[1-9]\d{8}"),             # NL
@@ -92,14 +96,17 @@ PLAN = {
     "49": _Plan(range(6, 12), r"[1-9]\d{5,10}"),  # DE
     "52": _Plan({10}, r"[1-9]\d{9}"),            # MX
     "55": _Plan({10, 11}, r"[1-9][1-9]\d{8,9}"),  # BR
-    "61": _Plan({9}, r"[1-578]\d{8}"),           # AU
+    # AU: service/short ranges (13xxxx, 1300/1800 xxx xxx) are valid
+    # NSNs of 5-10 digits starting 1; geo/mobile are 9 starting 2-5/7/8
+    "61": _Plan(range(5, 11), r"1\d{4,9}|[2-578]\d{8}"),
     "62": _Plan(range(8, 13), r"[1-9]\d{7,11}"),  # ID
     "63": _Plan({8, 9, 10}, r"[2-9]\d{7,9}"),    # PH
-    "65": _Plan({8}, r"[3689]\d{7}"),            # SG
+    # SG: 8-digit lines start 3/6/8/9; 800/1800 toll-free are 10/11
+    "65": _Plan({8, 10, 11}, r"[3689]\d{7}|800\d{7}|1800\d{7}"),
     "81": _Plan({9, 10}, r"[1-9]\d{8,9}"),       # JP
     "82": _Plan({8, 9, 10}, r"[1-9]\d{7,9}"),    # KR
     "84": _Plan({9, 10}, r"[1-9]\d{8,9}"),       # VN
-    "86": _Plan({9, 10, 11}, r"1[3-9]\d{9}|[2-9]\d{8,10}"),  # CN
+    "86": _Plan(range(7, 13), r"1[3-9]\d{9}|[1-9]\d{6,11}"),  # CN
     "90": _Plan({10}, r"[2-58]\d{9}"),           # TR
     "91": _Plan({10}, r"[1-9]\d{9}"),            # IN
     "92": _Plan({9, 10}, r"[1-9]\d{8,9}"),       # PK
