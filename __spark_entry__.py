@@ -850,9 +850,24 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_token_stats(spark, sf_dir):
+    """Tagged union of BOTH per-doc token-count stats and benchmark
+    DECONTAMINATION (docs sharing any word 5-gram with a deterministic
+    eval subset, doc_id % 17 == 3, are flagged with matched/total
+    shingle counts + a ppm ratio) — one oracle query, two families."""
+    from validify_spark.pipeline import decontaminate
     t = _load(spark, sf_dir, "documents")["documents"]
-    return token_stats(t).select("doc_id", "n_chars", "n_tokens",
-                                 "n_distinct_tokens")
+    stats = token_stats(t).select(
+        F.lit("tokens").alias("family"), "doc_id",
+        F.col("n_chars").cast("long").alias("m1"),
+        F.col("n_tokens").cast("long").alias("m2"),
+        F.col("n_distinct_tokens").cast("long").alias("m3"))
+    bench = t.filter(F.col("doc_id") % 17 == 3)
+    dec = decontaminate(t, bench, n=5).select(
+        F.lit("decontam").alias("family"), "doc_id",
+        F.col("n_matched").cast("long").alias("m1"),
+        F.col("n_shingles").cast("long").alias("m2"),
+        F.col("contamination_ppm").alias("m3"))
+    return stats.unionByName(dec)
 
 
 def q_quality(spark, sf_dir):
@@ -1715,11 +1730,32 @@ def oracle_sql() -> dict[str, str]:
                    list_filter(regexp_split_to_array(lower(trim(text)),
                                                      '\s+'),
                                x -> x <> '') AS words
-            FROM documents)
-          SELECT doc_id, length(text) AS n_chars,
-                 len(words) AS n_tokens,
-                 len(list_distinct(words)) AS n_distinct_tokens
-          FROM w""",
+            FROM documents),
+          sh5 AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(words) - 4, 0)),
+                     i -> array_to_string(words[i:i+4], ' '))))
+                     AS shingle
+            FROM w),
+          szs AS (SELECT doc_id, count(*) AS n_shingles FROM sh5
+                  GROUP BY doc_id),
+          bench AS (SELECT DISTINCT shingle FROM sh5
+                    WHERE doc_id % 17 = 3),
+          hits AS (SELECT s.doc_id, count(*) AS n_matched
+                   FROM sh5 s JOIN bench USING (shingle)
+                   GROUP BY s.doc_id)
+          SELECT 'tokens' AS family, doc_id,
+                 CAST(length(text) AS BIGINT) AS m1,
+                 CAST(len(words) AS BIGINT) AS m2,
+                 CAST(len(list_distinct(words)) AS BIGINT) AS m3
+          FROM w
+          UNION ALL
+          SELECT 'decontam', h.doc_id,
+                 CAST(n_matched AS BIGINT),
+                 CAST(n_shingles AS BIGINT),
+                 CAST(floor(1000000.0 * n_matched / n_shingles)
+                      AS BIGINT)
+          FROM hits h JOIN szs USING (doc_id)""",
 
         "quality": r"""
           WITH w AS (

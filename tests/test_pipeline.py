@@ -248,3 +248,32 @@ def test_cosine_self_pairs_lsh_mode(spark):
                                       **kw).collect()}
     assert exact == lsh
     assert len(exact) == 5 * 3  # 3 pairs per 3-clone cluster
+
+
+def test_decontaminate(spark):
+    from validify_spark.pipeline import decontaminate
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),   # hits bench 3-grams
+         (2, "totally unrelated words here friend"),   # clean
+         (3, "alpha beta gamma something else here"),  # one 3-gram hit
+         (4, "too short")],                            # < n words: never flagged
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           decontaminate(docs, bench, n=3).collect()}
+    assert set(got) == {1, 3}
+    # doc 1: 4 shingles, 3 of them ('alpha beta gamma', 'beta gamma
+    # delta', 'gamma delta epsilon') in the bench set
+    assert (got[1]["n_matched"], got[1]["n_shingles"]) == (3, 4)
+    assert got[1]["contamination_ppm"] == 750000
+    assert (got[3]["n_matched"], got[3]["n_shingles"]) == (1, 4)
+    assert got[3]["sample_shingle"] == "alpha beta gamma"
+    # min_hits raises the bar: doc 3's single hit no longer qualifies
+    assert {r["doc_id"] for r in
+            decontaminate(docs, bench, n=3, min_hits=2).collect()} == {1}
+    # clean-corpus composition via left_anti
+    clean = docs.join(decontaminate(docs, bench, n=3),
+                      "doc_id", "left_anti")
+    assert {r["doc_id"] for r in clean.collect()} == {2, 4}

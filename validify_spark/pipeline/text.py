@@ -271,3 +271,58 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
         F.md5(norm).alias("content_hash"),
         F.array_min(shingles).alias("shingle_fingerprint"),
     )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_text_col: str = "text", n: int = 13,
+                  min_hits: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word ``n``-gram with an evaluation/benchmark set — the
+    standard pretraining-corpus overlap check (13-gram by convention;
+    the reference has no distributed analog, north_star distributed-
+    only family).
+
+    Returns one row per CONTAMINATED doc (``n_matched >= min_hits``):
+    (<id_col>, n_matched distinct shingles hit, n_shingles distinct
+    shingles in the doc, contamination_ppm = floor(1e6 * n_matched /
+    n_shingles), sample_shingle = lexicographic min matched n-gram for
+    triage). Compose ``docs.join(result, id_col, "left_anti")`` for the
+    clean corpus.
+
+    100 TB design: the benchmark side (thousands of eval rows) is
+    distinct-shingled and broadcast, so the corpus-side scan joins
+    with NO shuffle; only matching (doc, shingle) rows — a tiny
+    minority — reach the per-doc aggregation. Docs with fewer than
+    ``n`` words have no shingles and are never flagged."""
+    def _shingle_arr(text: Column) -> Column:
+        words = _words(text)
+        # sequence(1, 0) is DESCENDING in Spark — guard short docs
+        return F.when(
+            F.size(words) >= n,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n))))
+        ).otherwise(F.array().cast("array<string>"))
+
+    doc_sh = (docs
+              .select(F.col(id_col), _shingle_arr(F.col(text_col)).alias("_sh"))
+              .select(F.col(id_col), F.size("_sh").alias("n_shingles"),
+                      F.explode("_sh").alias("shingle")))
+    bench_sh = (benchmark
+                .select(F.explode(_shingle_arr(F.col(bench_text_col)))
+                        .alias("shingle"))
+                .distinct())
+    hits = (doc_sh
+            .join(F.broadcast(bench_sh), "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_matched"),
+                 F.first("n_shingles").alias("n_shingles"),
+                 F.min("shingle").alias("sample_shingle")))
+    return (hits
+            .filter(F.col("n_matched") >= min_hits)
+            .select(F.col(id_col), "n_matched", "n_shingles",
+                    F.floor(F.lit(1000000.0) * F.col("n_matched")
+                            / F.col("n_shingles"))
+                     .cast("long").alias("contamination_ppm"),
+                    "sample_shingle"))
