@@ -1012,6 +1012,20 @@ def q_ann_recall(spark, sf_dir):
     return ann_recall_at_k(t, queries, k=5, dim=64, n_tables=4)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF (k-means cell) approximate ANN — the data-dependent scale
+    path next to the LSH one. Cell boundaries come from k-means|| (seed-
+    deterministic only for a fixed input partitioning) → rows-only
+    check; the pytest suite gates recall >= 0.9 and proves the
+    n_probe == n_clusters degenerate case is exactly the brute-force
+    result."""
+    from validify_spark.pipeline import ivf_ann_topk
+    t = _load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = (t.filter("vec_id < 3")
+               .selectExpr("vec_id AS query_id", "embedding"))
+    return ivf_ann_topk(t, queries, k=5, n_clusters=8, n_probe=4)
+
+
 def q_stats_profile_sketch(spark, sf_dir):
     """HLL/GK sketch profile — the 100 TB path; approximate by design,
     rows-only check."""
@@ -1115,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_driver_contract.py)
         "ann_lsh": q_ann_lsh,
         "ann_recall": q_ann_recall,
+        "ann_ivf": q_ann_ivf,
         "stats_profile_sketch": q_stats_profile_sketch,
         "stats_tdigest": q_stats_tdigest,
     }

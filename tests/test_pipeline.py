@@ -277,3 +277,27 @@ def test_decontaminate(spark):
     clean = docs.join(decontaminate(docs, bench, n=3),
                       "doc_id", "left_anti")
     assert {r["doc_id"] for r in clean.collect()} == {2, 4}
+
+
+def test_ivf_ann_recall_and_exact_degenerate(spark):
+    import os
+    from validify_spark.pipeline import cosine_topk, ivf_ann_topk
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = (emb.filter("vec_id < 5")
+               .selectExpr("vec_id AS query_id", "embedding"))
+    exact = {(r["query_id"], r["vec_id"]) for r in
+             cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in
+              ivf_ann_topk(emb, queries, k=5, n_clusters=8,
+                           n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall} < 0.9"
+    # n_probe == n_clusters probes every cell → EXACTLY the brute-force
+    # result (same cosine expression, same top-k reduce)
+    allcells = {(r["query_id"], r["vec_id"], r["cosine"], r["rank"])
+                for r in ivf_ann_topk(emb, queries, k=5, n_clusters=4,
+                                      n_probe=4).collect()}
+    exact_full = {(r["query_id"], r["vec_id"], r["cosine"], r["rank"])
+                  for r in cosine_topk(emb, queries, k=5).collect()}
+    assert allcells == exact_full

@@ -18,7 +18,7 @@ from .dedup import (
     word_shingles,
 )
 from .similarity import (ann_recall_at_k, cosine_self_pairs, cosine_topk,
-                         lsh_ann_topk, n_planes_for)
+                         ivf_ann_topk, lsh_ann_topk, n_planes_for)
 from .text import (compression_ratio, decontaminate, fingerprint,
                    lang_id, quality_score, redact_pii, token_stats)
 
@@ -26,7 +26,7 @@ __all__ = [
     "exact_duplicates", "duplicate_clusters", "word_shingles", "jaccard_pairs",
     "minhash_signatures", "minhash_lsh_pairs", "simhash_fingerprints",
     "simhash_pairs", "cosine_topk", "cosine_self_pairs", "lsh_ann_topk",
-    "ann_recall_at_k", "n_planes_for",
+    "ivf_ann_topk", "ann_recall_at_k", "n_planes_for",
     "token_stats", "quality_score", "lang_id", "fingerprint",
     "redact_pii", "clean_corpus", "compression_ratio", "decontaminate",
 ]

@@ -266,3 +266,85 @@ def cosine_self_pairs(corpus: DataFrame, threshold: float = 0.95,
                     F.round(cosine(F.col("__va"), F.col("__vb")), 6)
                     .alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "query_id", n_clusters: int = 16,
+                 n_probe: int = 4, max_iter: int = 10, seed: int = 42,
+                 train_fraction: Optional[float] = None) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the data-dependent
+    complement to ``lsh_ann_topk``: k-means partitions the corpus into
+    ``n_clusters`` cells (spherical-style — vectors are unit-normalized
+    for training/assignment so Euclidean cells track cosine
+    neighborhoods); each query probes only its ``n_probe`` nearest
+    cells and re-ranks exactly (same cosine expression as the
+    brute-force baseline) inside them. Recall grows with
+    n_probe/n_clusters; n_probe >= n_clusters degenerates to exact.
+
+    100 TB design: training runs on a ``train_fraction`` sample (pass
+    one at scale — k-means only needs enough points per cell, not the
+    corpus); cell assignment is ONE corpus scan through the fitted
+    model's JVM transform; the probe list (|queries| x n_probe rows,
+    with query vectors) is broadcast, so the candidate join adds NO
+    corpus-side shuffle and scores only ~n_probe/n_clusters of the
+    corpus. Centroids live driver-side (n_clusters x dim — tiny).
+    NULL / zero-norm corpus vectors are excluded (they have no cosine
+    neighbors). Output: <query_id_col>, <id_col>, cosine, rank.
+
+    Cell boundaries are seed-deterministic for a fixed input
+    partitioning, but k-means|| init can shift across repartitionings —
+    quality is therefore gated by a measured recall test, not a fixed
+    oracle (rows-only driver check, like lsh)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+
+    def _unit(vec: Column) -> Column:
+        d = F.transform(vec, lambda x: x.cast("double"))
+        n = _norm(d)
+        return F.transform(d, lambda x: x / n)
+
+    base = (corpus.select(id_col, vec_col)
+            .filter(F.col(vec_col).isNotNull())
+            .filter(_norm(F.transform(F.col(vec_col),
+                                      lambda x: x.cast("double"))) > 0)
+            .withColumn("__feat", array_to_vector(_unit(F.col(vec_col)))))
+    train = (base if train_fraction is None
+             else base.sample(train_fraction, seed))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter,
+                   featuresCol="__feat", predictionCol="__cell") \
+        .fit(train.select("__feat"))
+    assigned = model.transform(base).select(id_col, vec_col, "__cell")
+
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(model.clusterCenters())],
+        "__cell int, __cent array<double>")
+    qbase = (queries
+             .select(query_id_col, F.col(vec_col).alias("__qvec"))
+             .filter(F.col("__qvec").isNotNull()))
+    # rank cells by the SAME metric the assignment used: Euclidean
+    # distance from the unit-normalized vector to the raw centroid
+    qdist = (qbase.crossJoin(F.broadcast(cents))
+             .select(query_id_col, "__qvec", "__cell",
+                     F.aggregate(
+                         F.zip_with(_unit(F.col("__qvec")),
+                                    F.col("__cent"),
+                                    lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda a, v: a + v).alias("__d2")))
+    probes = (qdist
+              .groupBy(query_id_col)
+              .agg(F.slice(F.array_sort(F.collect_list(
+                       F.struct(F.col("__d2"), F.col("__cell")))),
+                   1, n_probe).alias("__cells"),
+                   F.first("__qvec").alias("__qvec"))
+              .select(query_id_col, "__qvec",
+                      F.explode(F.col("__cells").getField("__cell"))
+                       .alias("__cell")))
+    scored = (assigned.join(F.broadcast(probes), "__cell")
+              .select(query_id_col, id_col,
+                      cosine(F.col(vec_col), F.col("__qvec"))
+                      .alias("cosine")))
+    return _topk_per_key(scored, query_id_col, id_col, k)
