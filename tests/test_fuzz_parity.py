@@ -81,6 +81,59 @@ TABLES = {
 
 REGEX_POOL = ["[0-9]{2}", "Customer", "BUILD|AUTO", "[A-Z]{5,}",
               "^Cus", "t$", "e.g?"]
+
+# ---------------------------------------------------------------------------
+# UDF-tier kinds (email/url/ip/phone/credit_card): a deterministic
+# synthetic column built from a pool of reference-truth-table values
+# with HARD-CODED verdicts (email.rs:83-133, urls.rs, ip.rs:36-126,
+# phone.rs + numbering-plan cases, cards.rs — the same cases
+# test_truth_tables.py pins), so the DuckDB oracle needs no Python
+# validator — it just reads the expected boolean by pool index. Rows
+# get deterministic space padding (left key%3, right key%2) so the
+# trim-modifier x two-tier-dispatch ordering is exercised: trimmed ⇒
+# base verdict; untrimmed padded ⇒ False for every kind EXCEPT phone
+# (whose validator strips [\s().-] itself, udf_tier._PHONE_STRIP).
+# ---------------------------------------------------------------------------
+
+UDF_COL = "udf_val"
+# (value, email, url, ip_any, ip_v4, ip_v6, phone, credit_card)
+UDF_POOL = [
+    ("email@here.com",           1, 0, 0, 0, 0, 0, 0),
+    ("email@[2001:dB8::1]",      1, 0, 0, 0, 0, 0, 0),  # ipv6-literal slow path
+    ("user@faß.de",              1, 0, 0, 0, 0, 0, 0),  # IDN slow path
+    ("something@@somewhere.com", 0, 0, 0, 0, 0, 0, 0),
+    ("abc@bar",                  1, 0, 0, 0, 0, 0, 0),
+    ("a @x.cz",                  0, 0, 0, 0, 0, 0, 0),
+    ("https://google.com",       0, 1, 0, 0, 0, 0, 0),
+    ("ftp://localhost:80",       0, 1, 0, 0, 0, 0, 0),
+    ("http",                     0, 0, 0, 0, 0, 0, 0),
+    ("mailto:alice@b.com",       0, 1, 0, 0, 0, 0, 0),  # opaque-scheme slow path
+    ("http://10.0.0.1:70000",    0, 0, 0, 0, 0, 0, 0),  # bad-port slow path
+    ("1.1.1.1",                  0, 0, 1, 1, 0, 0, 0),
+    ("256.1.1.1",                0, 0, 0, 0, 0, 0, 0),
+    # NB: a bare ipv6 string IS a valid WHATWG URL — "fe80:" parses as
+    # a (non-special) scheme with an opaque path, same as url::Url
+    ("fe80::223:6cff:fe8a:2e8a", 0, 1, 1, 0, 1, 0, 0),
+    ("1::2::3::4",               0, 0, 0, 0, 0, 0, 0),
+    ("::ffff:254.42.16.14",      0, 0, 1, 0, 1, 0, 0),
+    ("+14152370800",             0, 0, 0, 0, 0, 1, 0),
+    ("+1 (415) 237-0800",        0, 0, 0, 0, 0, 1, 0),
+    ("14152370800",              0, 0, 0, 0, 0, 0, 0),
+    ("+999 12345678",            0, 0, 0, 0, 0, 0, 0),  # no such calling code
+    ("+86 13912345678",          0, 0, 0, 0, 0, 1, 0),  # CN mobile plan
+    ("4539571147647251",         0, 0, 0, 0, 0, 0, 1),
+    ("343380440754432",          0, 0, 0, 0, 0, 0, 1),
+    ("5236313877109141",         0, 0, 0, 0, 0, 0, 0),  # brand ok, Luhn fails
+    ("zduhefljsdfKJKJZHUI",      0, 0, 0, 0, 0, 0, 0),
+    (None,                       None, None, None, None, None, None, None),
+]
+UDF_VALUES = [p[0] for p in UDF_POOL]
+_KNAMES = ("email", "url", "ip_any", "ip_v4", "ip_v6", "phone",
+           "credit_card")
+UDF_VERDICTS = {k: [None if p[i + 1] is None else bool(p[i + 1])
+                    for p in UDF_POOL]
+                for i, k in enumerate(_KNAMES)}
+UDF_RULE_KINDS = {"email", "url", "ip", "phone", "credit_card"}
 MOD_KINDS = ["trim", "lowercase", "uppercase", "capitalize"]
 TS_TARGETS = [dt.datetime(1993, 6, 1), dt.datetime(1995, 1, 1),
               dt.datetime(1997, 12, 31)]
@@ -208,7 +261,7 @@ def _gen_inner(rng, spec):
     return vs.regex(None, rng.choice(REGEX_POOL))
 
 
-def gen_rule(rng, spec, allow_ghost=True):
+def gen_rule(rng, spec, allow_ghost=True, with_udf=True):
     """One (Rule, oracle-info) pair for a random column/kind."""
     kind_of_col = []
     for c in spec["strs"]:
@@ -223,6 +276,14 @@ def gen_rule(rng, spec, allow_ghost=True):
                         ("length", "regex", "required")]
     for c in spec["nums"]:
         kind_of_col += [(c, k) for k in ("range", "required")]
+    # UDF-tier kinds over the synthetic truth-table column (+ generic
+    # kinds on the same column for cross-kind interplay). Arrow-exec
+    # rules cost ~3-4s/trial, so only 1 in 3 seeds draws them — still
+    # ~67 UDF-tier rulesets across the default 200.
+    if with_udf:
+        kind_of_col += [(UDF_COL, k) for k in
+                        ("email", "url", "ip_any", "ip_v4", "ip_v6",
+                         "phone", "credit_card", "required", "length")]
     for c in spec["ts"]:
         # time is weighted up: it has the most flavors to cover
         # (literal before/after/in_period, string-target-column parse)
@@ -255,6 +316,20 @@ def gen_rule(rng, spec, allow_ghost=True):
         r = vs.is_in(col, rng.choice(spec["is_in"][col]))
     elif kind == "not_in":
         r = vs.not_in(col, rng.choice(spec["is_in"][col]))
+    elif kind == "email":
+        r = vs.email(col)
+    elif kind == "url":
+        r = vs.url(col)
+    elif kind == "ip_any":
+        r = vs.ip(col)
+    elif kind == "ip_v4":
+        r = vs.ip(col, format="v4")
+    elif kind == "ip_v6":
+        r = vs.ip(col, format="v6")
+    elif kind == "phone":
+        r = vs.phone(col)
+    elif kind == "credit_card":
+        r = vs.credit_card(col)
     elif kind == "required":
         r = vs.required(col)
     elif kind == "non_control_char":
@@ -292,7 +367,7 @@ def gen_rule(rng, spec, allow_ghost=True):
     return r, other
 
 
-def gen_ruleset(rng, spec):
+def gen_ruleset(rng, spec, with_udf=True):
     """(RuleSet, modifier-chains, iter-specs). Combinatorial on
     purpose: presence rules (possibly ghost/gated), 2-12 main rules,
     modifiers on the very columns rules read, sometimes an iter rule
@@ -304,12 +379,19 @@ def gen_ruleset(rng, spec):
                      for _ in range(rng.randint(1, 3))]
             chains[c] = chain
             mods.extend(vs.Modifier(m, c) for m in chain)
+    # udf_val only ever gets `trim` (case modifiers would change the
+    # hard-coded truth-table verdicts); with it the padded rows recover
+    # their base verdicts, without it they fail everything but phone
+    if with_udf and rng.random() < 0.5:
+        chains[UDF_COL] = ["trim"]
+        mods.append(vs.Modifier("trim", UDF_COL))
 
     rules = []
     if rng.random() < 0.45:
         for _ in range(rng.randint(1, 2)):
             col = (GHOST if rng.random() < 0.15
-                   else rng.choice(spec["strs"] + spec["nums"]))
+                   else rng.choice(spec["strs"] + spec["nums"]
+                                   + ([UDF_COL] if with_udf else [])))
             pr = vs.required(col, stage="presence")
             if rng.random() < 0.3:
                 pr = vs.Rule(kind="required", column=col,
@@ -341,7 +423,7 @@ def gen_ruleset(rng, spec):
             rules.append(r)
             iter_specs.append((r, inner))
         else:
-            r, _other = gen_rule(rng, spec)
+            r, _other = gen_rule(rng, spec, with_udf=with_udf)
             rules.append(r)
     if rng.random() < 0.3:
         sr = vs.schema_rule(rng.choice(spec["schema_preds"]))
@@ -380,6 +462,18 @@ def build_oracle_sql(table, spec, ruleset, chains):
             f"ELSE strftime({spec['ts'][0]} + "
             f"to_days(CAST({key} % 7 - 3 AS INT)), "
             f"'{TSTR_FMT_DUCK}') END AS r_{TSTR_COL}")
+    # synthetic UDF-tier column: pool value by key index + deterministic
+    # space padding, the exact mirror of the Spark-side fixture
+    P = len(UDF_VALUES)
+    vals_sql = ", ".join("NULL" if v is None else sql_quote(v)
+                         for v in UDF_VALUES)
+    udf_raw = (f"(repeat(' ', CAST({key} % 3 AS INT)) || "
+               f"list_extract([{vals_sql}], CAST({key} % {P} AS INT) + 1)"
+               f" || repeat(' ', CAST({key} % 2 AS INT)))")
+    e = udf_raw
+    for kind in chains.get(UDF_COL, []):
+        e = mod_sql(e, kind)
+    aux.append(f"({e}) AS m_{UDF_COL}")
     cte_cols = ", ".join(
         [key]
         + [f"{mod_exprs[c]} AS m_{c}" for c in sel if c != key]
@@ -402,6 +496,22 @@ def build_oracle_sql(table, spec, ruleset, chains):
     def rule_fail(r):
         if r.column == GHOST:
             pred = "TRUE"  # missing column ⇒ every row fails
+        elif r.kind in UDF_RULE_KINDS:
+            kname = (r.kind if r.kind != "ip" else
+                     {"v4": "ip_v4", "v6": "ip_v6"}.get(
+                         r.params.get("format"), "ip_any"))
+            verd = ", ".join(
+                "NULL" if b is None else ("TRUE" if b else "FALSE")
+                for b in UDF_VERDICTS[kname])
+            base = (f"list_extract([{verd}], "
+                    f"CAST({key} % {len(UDF_VALUES)} AS INT) + 1)")
+            if UDF_COL in chains or r.kind == "phone":
+                exp = base  # trimmed (or phone, which strips \s itself)
+            else:  # untrimmed: padded rows can never validate
+                exp = (f"(CASE WHEN {key} % 3 = 0 AND {key} % 2 = 0 "
+                       f"THEN {base} ELSE FALSE END)")
+            pred = (f"(m_{UDF_COL} IS NOT NULL "
+                    f"AND NOT COALESCE({exp}, FALSE))")
         elif r.kind == "must_match":
             pred = fail_sql(r, m(r.column), other_m=m(r.params["other"]))
         else:
@@ -494,6 +604,16 @@ def sources(spark):
               .withColumn("st", F.struct(
                   F.col(strs[0]).alias("a"),
                   F.col(strs[1]).alias("b"))))
+        key = spec["key"]
+        P = len(UDF_VALUES)
+        vals_sql = ", ".join(
+            "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+            for v in UDF_VALUES)
+        df = df.withColumn(UDF_COL, F.expr(
+            f"concat(repeat(' ', CAST({key} % 3 AS INT)), "
+            f"element_at(array({vals_sql}), "
+            f"CAST({key} % {P} AS INT) + 1), "
+            f"repeat(' ', CAST({key} % 2 AS INT)))"))
         if spec["ts"]:
             key, ts0 = spec["key"], spec["ts"][0]
             df = df.withColumn(TSTR_COL, F.when(
@@ -513,7 +633,7 @@ def _run_trial(spark, con, sources, seed):
     rng = random.Random(seed)
     table = rng.choice(list(TABLES))
     spec = TABLES[table]
-    ruleset, chains = gen_ruleset(rng, spec)
+    ruleset, chains = gen_ruleset(rng, spec, with_udf=seed % 3 == 0)
     key = spec["key"]
 
     eng = vs.ValidationEngine(ruleset, key_cols=[key])
@@ -573,7 +693,8 @@ def _run_dedup_trial(spark, con, sources, seed):
     seen, base = set(), []
     for _ in range(rng.randint(3, 8)):
         for _attempt in range(10):
-            r, _ = gen_rule(rng, spec, allow_ghost=False)
+            r, _ = gen_rule(rng, spec, allow_ghost=False,
+                            with_udf=seed % 3 == 0)
             if r.kind in ("iter", "map_values"):
                 continue
             if (r.column, r.kind) not in seen:
