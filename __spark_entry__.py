@@ -725,24 +725,70 @@ def q_partition_report(spark, sf_dir):
 
 
 def q_salted_agg(spark, sf_dir):
-    """Skew-proof two-phase aggregation (explicit salting): results are
-    bit-identical to a plain groupBy — which is exactly what the oracle
-    checks — while bounding any single task's state on hot keys."""
-    from validify_spark.checks import salted_agg
+    """Skew family, tagged union: (a) 'salt:' — two-phase salted
+    aggregation, bit-identical to a plain groupBy (exactly what the
+    oracle replays) while bounding any single task's state on hot
+    keys; (b) 'hot:' — heavy_hitters, the exact hot-key diagnosis that
+    decides which keys NEED salting (top-10 l_suppkey by row count,
+    ties broken by key; TakeOrderedAndProject, no global sort)."""
+    from validify_spark.checks import heavy_hitters, salted_agg
     t = _load(spark, sf_dir, "lineitem")["lineitem"]
-    return salted_agg(
+    salted = salted_agg(
         t, ["l_returnflag"],
         [F.count("*").alias("n"),
          F.sum("l_quantity").alias("qty")],
         [F.sum("n").alias("n_rows"),
          F.round(F.sum("qty"), 2).alias("sum_qty")],
-        n_salts=16)
+        n_salts=16).select(
+            F.concat(F.lit("salt:"), F.col("l_returnflag")).alias("key"),
+            "n_rows", "sum_qty")
+    hot = heavy_hitters(
+        t, ["l_suppkey"], k=10,
+        extra_aggs=[F.round(F.sum("l_quantity"), 2).alias("sum_qty")]
+    ).select(
+        F.concat(F.lit("hot:"), F.col("l_suppkey").cast("string"))
+         .alias("key"),
+        "n_rows", "sum_qty")
+    return salted.unionByName(hot)
 
 
 def q_stats_profile(spark, sf_dir):
+    """Stats family, tagged union: (a) exact per-column profile rows;
+    (b) an 'outlier:<col>' summary row from outliers_iqr over a
+    deterministically skewed derived price (1/97 rows x8 — the natural
+    TPC-H columns have zero Tukey outliers), mapped onto the profile
+    schema as n_rows=#outliers, min/max_value=outlier extremes,
+    q25/q50=the lo/hi fences (round_bounds=6 makes the violation set
+    engine-reproducible; per-row output is pytest-covered)."""
+    from validify_spark.checks import outliers_iqr
     t = _load(spark, sf_dir, "lineitem")["lineitem"]
-    return stats_profile_exact(t, ["l_quantity", "l_discount",
+    prof = stats_profile_exact(t, ["l_quantity", "l_discount",
                                    "l_extendedprice"])
+    priced = t.selectExpr(
+        "l_orderkey", "l_linenumber",
+        "CASE WHEN l_orderkey % 97 = 0 THEN l_extendedprice * 8 "
+        "ELSE l_extendedprice END AS price")
+    out = outliers_iqr(priced, ["l_orderkey", "l_linenumber"],
+                       ["price"], approx=False, round_bounds=6)
+    summary = (out.groupBy("column")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.min("value").alias("__minv"),
+                    F.max("value").alias("__maxv"),
+                    F.first("lo").alias("__lo"),
+                    F.first("hi").alias("__hi"))
+               .select(
+                   F.concat(F.lit("outlier:"), F.col("column"))
+                    .alias("column"),
+                   "n_rows",
+                   F.lit(None).cast("long").alias("n_nulls"),
+                   F.lit(None).cast("double").alias("null_rate"),
+                   F.lit(None).cast("long").alias("n_distinct"),
+                   F.col("__minv").cast("string").alias("min_value"),
+                   F.col("__maxv").cast("string").alias("max_value"),
+                   F.col("__lo").alias("q25"),
+                   F.col("__hi").alias("q50"),
+                   F.lit(None).cast("double").alias("q75")))
+    return prof.unionByName(summary)
 
 
 def q_drift(spark, sf_dir):
@@ -1026,6 +1072,17 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_ann_topk(t, queries, k=5, n_clusters=8, n_probe=4)
 
 
+def q_hot_keys_sketch(spark, sf_dir):
+    """Misra-Gries heavy-hitter sketch — bounded-memory hot-key
+    detection for key domains too large to count exactly. Counts are
+    lower bounds whose exact values depend on the input partitioning
+    once reductions fire ⇒ rows-only check; pytest pins the
+    exact-when-capacity-suffices identity and the MG error bound."""
+    from validify_spark.checks import heavy_hitters_sketch
+    t = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return heavy_hitters_sketch(t, ["l_suppkey"], k=10, capacity=64)
+
+
 def q_stats_profile_sketch(spark, sf_dir):
     """HLL/GK sketch profile — the 100 TB path; approximate by design,
     rows-only check."""
@@ -1132,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "stats_profile_sketch": q_stats_profile_sketch,
         "stats_tdigest": q_stats_tdigest,
+        "hot_keys_sketch": q_hot_keys_sketch,
     }
 
 
@@ -1511,9 +1569,16 @@ def oracle_sql() -> dict[str, str]:
           FROM orders GROUP BY o_orderpriority""",
 
         "salted_agg": """
-          SELECT l_returnflag, count(*) AS n_rows,
+          SELECT 'salt:' || l_returnflag AS key, count(*) AS n_rows,
                  round(sum(l_quantity), 2) AS sum_qty
-          FROM lineitem GROUP BY l_returnflag""",
+          FROM lineitem GROUP BY l_returnflag
+          UNION ALL
+          SELECT * FROM (
+            SELECT 'hot:' || CAST(l_suppkey AS STRING) AS key,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY l_suppkey
+            ORDER BY count(*) DESC, l_suppkey LIMIT 10)""",
 
         "stats_profile": """
           SELECT 'l_quantity' AS column, count(*) AS n_rows,
@@ -1551,7 +1616,29 @@ def oracle_sql() -> dict[str, str]:
                  round(quantile_cont(l_extendedprice, 0.25), 6),
                  round(quantile_cont(l_extendedprice, 0.5), 6),
                  round(quantile_cont(l_extendedprice, 0.75), 6)
-          FROM lineitem""",
+          FROM lineitem
+          UNION ALL
+          SELECT 'outlier:price', count(*),
+                 CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                 CAST(NULL AS BIGINT),
+                 CAST(min(round(p, 6)) AS STRING),
+                 CAST(max(round(p, 6)) AS STRING),
+                 round(q1 - 1.5 * (q3 - q1), 6),
+                 round(q3 + 1.5 * (q3 - q1), 6),
+                 CAST(NULL AS DOUBLE)
+          FROM (SELECT CASE WHEN l_orderkey % 97 = 0
+                            THEN l_extendedprice * 8
+                            ELSE l_extendedprice END AS p
+                FROM lineitem) src,
+               (SELECT quantile_cont(p, 0.25) AS q1,
+                       quantile_cont(p, 0.75) AS q3
+                FROM (SELECT CASE WHEN l_orderkey % 97 = 0
+                                  THEN l_extendedprice * 8
+                                  ELSE l_extendedprice END AS p
+                      FROM lineitem)) b
+          WHERE p < round(q1 - 1.5 * (q3 - q1), 6)
+             OR p > round(q3 + 1.5 * (q3 - q1), 6)
+          GROUP BY q1, q3""",
 
         "drift": """
           WITH cur AS (

@@ -148,3 +148,81 @@ def test_conv_meta_orphans(spark):
     assert orphans.count() > 0
     # and hot convs are NOT orphans
     assert orphans.filter(F.col("conv_id").startswith("hot")).count() == 0
+
+
+def test_heavy_hitters_exact(spark):
+    from validify_spark.checks import heavy_hitters
+    rows = [(k, 1.0) for k in
+            ["a"] * 50 + ["b"] * 30 + ["c"] * 10 + ["d"] * 5 + ["e"] * 5]
+    df = spark.createDataFrame(rows, "k string, v double")
+    top = heavy_hitters(df, ["k"], k=3).collect()
+    assert [(r["k"], r["n_rows"]) for r in top] == \
+        [("a", 50), ("b", 30), ("c", 10)]
+    # tie at the k boundary breaks by key ascending
+    top4 = heavy_hitters(df, ["k"], k=4).collect()
+    assert [(r["k"], r["n_rows"]) for r in top4][-1] == ("d", 5)
+    # min_share path
+    share = heavy_hitters(df, ["k"], min_share=0.25)
+    assert {r["k"] for r in share.collect()} == {"a", "b"}
+    # extra_aggs piggyback one more metric on the same scan
+    extra = heavy_hitters(df, ["k"], k=1,
+                          extra_aggs=[F.sum("v").alias("sv")]).collect()
+    assert extra[0]["sv"] == 50.0
+
+
+def test_heavy_hitters_sketch_exact_when_capacity_suffices(spark):
+    """capacity >= true distinct ⇒ the MG reduction never fires and the
+    sketch equals the exact counts bit-for-bit."""
+    from validify_spark.checks import heavy_hitters, heavy_hitters_sketch
+    df = (spark.range(2000)
+          .selectExpr("CAST(id % 37 AS STRING) AS k")
+          .repartition(8))
+    exact = {(r["k"], r["n_rows"])
+             for r in heavy_hitters(df, ["k"], k=10).collect()}
+    sk = {(r["k"], r["n_rows_min"])
+          for r in heavy_hitters_sketch(df, ["k"], k=10,
+                                        capacity=64).collect()}
+    assert sk == exact
+
+
+def test_heavy_hitters_sketch_lower_bound_and_survival(spark):
+    """capacity << distinct: counts are lower bounds and the guaranteed
+    heavy key (freq >> n/capacity) always survives the reductions."""
+    from validify_spark.checks import heavy_hitters_sketch
+    # 1000 rows of 'hot' + 900 singletons, shuffled across partitions
+    df = (spark.range(1900)
+          .selectExpr("CASE WHEN id % 19 < 10 THEN 'hot' "
+                      "ELSE CAST(id AS STRING) END AS k")
+          .repartition(8))
+    got = heavy_hitters_sketch(df, ["k"], k=1, capacity=16).collect()
+    assert got[0]["k"] == "hot"
+    assert got[0]["n_rows_min"] <= 1000  # lower bound, never over
+    assert got[0]["n_rows_min"] >= 1000 - 1900 // 16  # MG error bound
+    # NULL keys are excluded
+    df2 = spark.createDataFrame(
+        [("a",), (None,), ("a",)], "k string")
+    got2 = heavy_hitters_sketch(df2, ["k"], k=5, capacity=8).collect()
+    assert {(r["k"], r["n_rows_min"]) for r in got2} == {("a", 2)}
+
+
+def test_outliers_iqr(spark):
+    from validify_spark.checks import outliers_iqr
+    rows = ([(i, float(v)) for i, v in enumerate(range(1, 21))]
+            + [(100, 1000.0), (101, -500.0), (102, None)])
+    df = spark.createDataFrame(rows, "id int, v double")
+    out = outliers_iqr(df, ["id"], ["v"], approx=False)
+    got = {(r["id"], r["value"]) for r in out.collect()}
+    # sorted non-nulls [-500, 1..20, 1000]: q1=5.25, q3=15.75,
+    # iqr=10.5 → fences [-10.5, 31.5]: only the two spikes fall out
+    assert got == {(100, 1000.0), (101, -500.0)}
+    r0 = sorted(out.collect(), key=lambda r: r["id"])[0]
+    assert r0["lo"] == -10.5 and r0["hi"] == 31.5
+    assert r0["column"] == "v"
+    # sketch mode finds the same spikes on this small input
+    approx = outliers_iqr(df, ["id"], ["v"], approx=True)
+    assert {(r["id"], r["value"])
+            for r in approx.collect()} == {(100, 1000.0), (101, -500.0)}
+    # round_bounds only rounds the fences, not membership here
+    rb = outliers_iqr(df, ["id"], ["v"], approx=False, round_bounds=6)
+    assert {(r["id"], r["value"])
+            for r in rb.collect()} == {(100, 1000.0), (101, -500.0)}

@@ -13,7 +13,7 @@ import __spark_entry__ as E  # noqa: E402
 # queries that are rows-only BY DESIGN (sketches / LSH approximation
 # have no SQL analog) — everything else must carry an oracle
 ROWS_ONLY = {"ann_lsh", "ann_recall", "ann_ivf", "stats_profile_sketch",
-             "stats_tdigest"}
+             "stats_tdigest", "hot_keys_sketch"}
 
 
 def test_every_query_is_callable():

@@ -4,18 +4,21 @@ uniqueness, referential integrity, distribution drift, ordering
 invariants. Each is a separate composable job over the shared scan
 (SURVEY.md §2.8)."""
 
-from .stats import stats_profile, stats_profile_exact
+from .stats import outliers_iqr, stats_profile, stats_profile_exact
 from .tdigest import tdigest_quantiles
 from .uniqueness import uniqueness_violations
 from .referential import referential_orphans
 from .drift import categorical_histogram, drift_report, length_histogram
 from .ordering import ordering_violations
-from .skew import salted_agg, salted_collect_list, with_salt
+from .skew import (heavy_hitters, heavy_hitters_sketch,
+                   salted_agg, salted_collect_list, with_salt)
 
 __all__ = [
-    "stats_profile", "stats_profile_exact", "tdigest_quantiles",
+    "stats_profile", "stats_profile_exact", "outliers_iqr",
+    "tdigest_quantiles",
     "uniqueness_violations",
     "referential_orphans", "categorical_histogram", "length_histogram",
     "drift_report", "ordering_violations",
     "salted_agg", "salted_collect_list", "with_salt",
+    "heavy_hitters", "heavy_hitters_sketch",
 ]

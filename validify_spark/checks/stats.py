@@ -76,6 +76,62 @@ def _profile(df: DataFrame, columns: Optional[Sequence[str]], approx: bool,
             .select("s.*"))
 
 
+def outliers_iqr(df: DataFrame, key_cols: Sequence[str],
+                 columns: Sequence[str], factor: float = 1.5,
+                 approx: bool = True,
+                 round_bounds: Optional[int] = None) -> DataFrame:
+    """Tukey-fence outlier rows per numeric column: value outside
+    [q1 - factor*iqr, q3 + factor*iqr].
+
+    100 TB shape: ONE aggregation computes every column's (q1, q3)
+    as a single 1-row result (GK sketch by default — mergeable,
+    bounded; ``approx=False`` uses exact interpolated percentiles for
+    small-SF oracle parity); the fences are then a broadcast-joined
+    constant row, and ONE filter scan emits the violating rows via an
+    array-of-structs + explode entirely in codegen — no per-row
+    Python, no shuffle on the data side.
+
+    ``round_bounds``: round the fences to N decimals before comparing
+    — makes the violation SET reproducible across engines whose
+    interpolated quantiles differ in the last ulp (used by the DuckDB
+    oracle query; leave None for pure-Spark use).
+
+    Returns: key_cols..., column, value, lo, hi (value/fences rounded
+    to 6 for display)."""
+    cols = list(columns)
+    aggs = []
+    for c in cols:
+        q = (F.percentile_approx(F.col(c), [0.25, 0.75]) if approx
+             else F.percentile(F.col(c),
+                               F.array(F.lit(0.25), F.lit(0.75))))
+        aggs.append(q.alias(f"{c}__q"))
+    bounds = df.agg(*aggs)
+
+    joined = df.select(*key_cols, *cols).crossJoin(F.broadcast(bounds))
+    arms = []
+    for c in cols:
+        q1, q3 = F.col(f"{c}__q")[0], F.col(f"{c}__q")[1]
+        lo = q1 - F.lit(factor) * (q3 - q1)
+        hi = q3 + F.lit(factor) * (q3 - q1)
+        if round_bounds is not None:
+            lo, hi = F.round(lo, round_bounds), F.round(hi, round_bounds)
+        arms.append(F.struct(
+            F.lit(c).alias("column"),
+            F.col(c).cast("double").alias("value"),
+            lo.alias("lo"), hi.alias("hi")))
+    viol = F.filter(
+        F.array(*arms),
+        lambda s: s["value"].isNotNull()
+        & ((s["value"] < s["lo"]) | (s["value"] > s["hi"])))
+    return (joined
+            .select(*key_cols, F.explode(viol).alias("__o"))
+            .select(*key_cols,
+                    F.col("__o.column").alias("column"),
+                    F.round(F.col("__o.value"), 6).alias("value"),
+                    F.round(F.col("__o.lo"), 6).alias("lo"),
+                    F.round(F.col("__o.hi"), 6).alias("hi")))
+
+
 def stats_profile(df: DataFrame,
                   columns: Optional[Sequence[str]] = None,
                   rsd: float = 0.05) -> DataFrame:
