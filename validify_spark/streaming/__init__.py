@@ -1,6 +1,7 @@
 from .dedup import stream_exact_dedup
 from .profile import (stream_column_profile, stream_drift,
                       stream_length_drift)
+from .referential import stream_referential_orphans
 from .simhash import stream_simhash_pairs
 from .validate import (stream_ordering_violations,
                        stream_partition_metrics, stream_violations)
@@ -8,4 +9,5 @@ from .validate import (stream_ordering_violations,
 __all__ = ["stream_violations", "stream_partition_metrics",
            "stream_ordering_violations", "stream_exact_dedup",
            "stream_column_profile", "stream_drift",
-           "stream_length_drift", "stream_simhash_pairs"]
+           "stream_length_drift", "stream_simhash_pairs",
+           "stream_referential_orphans"]
