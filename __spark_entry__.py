@@ -596,8 +596,14 @@ def q_schema_rule(spark, sf_dir):
 
 
 def q_presence_gating(spark, sf_dir):
-    """Payload semantics: presence failure suppresses main-stage rules
-    (payload/impl.rs:17-53)."""
+    """Tagged union of the two payload-semantics flows. Arm 'rules':
+    presence failure suppresses main-stage rules (payload/impl.rs:17-53).
+    Arm 'payload': the serialized-payload entry point — the
+    ``T::validify_from(payload)`` analog (payload/impl.rs:36-53) — ONE
+    codegen ``from_json`` with a corrupt-record column; whole-payload
+    shape failures (malformed JSON / array / scalar where serde expects
+    a struct) become code='payload' at location '/', parsed rows run
+    the normal two-phase engine."""
     _load(spark, sf_dir, "orders")
     t = spark.sql("""
       SELECT o_orderkey,
@@ -611,7 +617,31 @@ def q_presence_gating(spark, sf_dir):
             vs.length("tool", min=2, max=32),
         ]),
         key_cols=["o_orderkey"])
-    return eng.violations(t).select("o_orderkey", "code")
+    rules_arm = eng.violations(t).select(
+        F.lit("rules").alias("src"), "o_orderkey", "code", "location")
+
+    p = spark.sql("""
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 9 = 0 THEN 'not json {'
+             WHEN o_orderkey % 9 = 1 THEN '[1,2,3]'
+             WHEN o_orderkey % 9 = 2 THEN '42'
+             WHEN o_orderkey % 9 = 3 THEN '{"role":"user"}'
+             WHEN o_orderkey % 9 = 4 THEN '{"role":null,"text":"hi"}'
+             WHEN o_orderkey % 9 = 5 THEN '{"role":"user","text":"x"}'
+             ELSE '{"role":"user","text":"hello world"}'
+        END AS payload
+      FROM orders""")
+    prs = vs.RuleSet(rules=[
+        vs.required("role", stage="presence"),
+        vs.required("text", stage="presence"),
+        vs.length("text", min=2, max=64),
+    ])
+    _good, pv = vs.validate_json_payload(
+        p, "payload", "role string, text string", prs,
+        key_cols=["o_orderkey"])
+    payload_arm = pv.select(
+        F.lit("payload").alias("src"), "o_orderkey", "code", "location")
+    return rules_arm.unionByName(payload_arm)
 
 
 def q_modifiers(spark, sf_dir):
@@ -1526,11 +1556,28 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'tool_' || CAST(o_orderkey % 3 AS STRING)
               END AS tool
             FROM orders)
-          SELECT o_orderkey, 'required' AS code FROM t WHERE tool IS NULL
+          SELECT 'rules' AS src, o_orderkey, 'required' AS code,
+                 '/tool' AS location
+          FROM t WHERE tool IS NULL
           UNION ALL
-          SELECT o_orderkey, 'length' FROM t
+          SELECT 'rules', o_orderkey, 'length', '/tool' FROM t
           WHERE tool IS NOT NULL
-            AND NOT (length(tool) >= 2 AND length(tool) <= 32)""",
+            AND NOT (length(tool) >= 2 AND length(tool) <= 32)
+          -- payload arm: deterministic serialized payloads by modulo
+          -- class; deserialization failures (malformed / array /
+          -- scalar) at '/', then required/length over the parsed value
+          UNION ALL
+          SELECT 'payload', o_orderkey, 'payload', '/' FROM orders
+          WHERE o_orderkey % 9 IN (0, 1, 2)
+          UNION ALL
+          SELECT 'payload', o_orderkey, 'required', '/text' FROM orders
+          WHERE o_orderkey % 9 = 3
+          UNION ALL
+          SELECT 'payload', o_orderkey, 'required', '/role' FROM orders
+          WHERE o_orderkey % 9 = 4
+          UNION ALL
+          SELECT 'payload', o_orderkey, 'length', '/text' FROM orders
+          WHERE o_orderkey % 9 = 5""",
 
         "modifiers": """
           SELECT c_custkey,

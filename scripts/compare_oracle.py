@@ -3,7 +3,7 @@ and its oracle_sql() on DuckDB over the same parquet; compare row count,
 column names, and order-insensitive values (stringified, rounded the
 same way both sides already round).
 
-Usage: python scripts/compare_oracle.py [sf_dir]
+Usage: python scripts/compare_oracle.py [sf_dir] [--only q1,q2,...]
 """
 
 from __future__ import annotations
@@ -17,7 +17,13 @@ sys.path.insert(0, ".")
 import __spark_entry__ as E  # noqa: E402
 from validify_spark.session import get_spark  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_args = sys.argv[1:]
+ONLY = None
+if "--only" in _args:
+    i = _args.index("--only")
+    ONLY = set(_args[i + 1].split(","))
+    _args = _args[:i] + _args[i + 2:]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 
 
 def canon(rows, cols):
@@ -39,6 +45,8 @@ def main() -> int:
                 f"'{SF_DIR}/{t}.parquet'")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    if ONLY is not None:
+        qs = {k: v for k, v in qs.items() if k in ONLY}
     failures = []
     for name, fn in qs.items():
         try:

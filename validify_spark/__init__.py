@@ -13,6 +13,7 @@ similarity search, text analysis).
 """
 
 from .engine import ValidationEngine, ValidationResult, validate
+from .payload import validate_json_payload
 from .rules import (
     Modifier,
     Rule,
@@ -59,6 +60,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "ValidationEngine", "ValidationResult", "validate", "get_spark",
+    "validate_json_payload",
     "Rule", "RuleSet", "RuleSpecError", "Modifier",
     "length", "range_", "email", "url", "ip", "phone", "credit_card",
     "non_control_char", "required", "regex", "contains", "contains_not",
