@@ -111,6 +111,50 @@ def test_dedup_collapses_duplicate_rule_violations(spark):
     assert viol.count() == 1
 
 
+def test_strict_types_fails_whole_payload_like_serde(spark):
+    rows = [
+        (1, '{"role":"user","text":"hello","n":1}'),   # clean
+        (2, '{"role":"user","text":42,"n":2}'),        # num into string:
+                                                        # silent stringify
+                                                        # (undetectable)
+        (3, '{"role":"user","text":"hi","n":"x"}'),    # str into int
+        (4, '{"role":"user","text":"hi","n":7.9}'),    # float into int
+        (5, '{"role":"user","text":"hi","n":[1]}'),    # array into int
+        (6, '{"role":"user","text":"hi","n":null}'),   # explicit null ok
+        (7, '{"role":"user","text":"hi"}'),            # missing key ok
+        (8, 'broken{'),                                # still corrupt
+    ]
+    df = spark.createDataFrame(rows, "k int, payload string")
+    rs = vs.RuleSet(rules=[vs.required("role", stage="presence")])
+    good, viol = validate_json_payload(
+        df, "payload", "role string, text string, n int", rs,
+        key_cols=["k"], strict_types=True)
+    bad = {r["k"]: r["params"].get("field")
+           for r in viol.filter("code = 'payload'").collect()}
+    assert set(bad) == {3, 4, 5, 8}
+    assert bad[3] == "n" and bad[4] == "n" and bad[5] == "n"
+    assert bad[8] is None                     # corrupt, no single field
+    assert {r["k"] for r in good.collect()} == {1, 2, 6, 7}
+    # the documented undetectable class: number quietly stringifies
+    assert good.filter("k = 2").collect()[0]["text"] == "42"
+
+
+def test_type_mismatch_fails_payload_by_default(spark):
+    # measured Spark behavior: PERMISSIVE from_json marks a row corrupt
+    # when any field fails type conversion, so serde's invalid-type
+    # whole-payload failure holds WITHOUT strict_types — strict_types
+    # only adds the params['field'] attribution.
+    df = spark.createDataFrame(
+        [(1, '{"role":"user","text":"hi","n":"x"}')], "k int, payload string")
+    rs = vs.RuleSet(rules=[vs.required("n", stage="presence")])
+    _g, viol = validate_json_payload(
+        df, "payload", "role string, text string, n int", rs,
+        key_cols=["k"])
+    rows = viol.collect()
+    assert [r["code"] for r in rows] == ["payload"]
+    assert "field" not in rows[0]["params"]  # attribution is opt-in
+
+
 def test_no_python_udfs_in_plan(ingest):
     _good, viol = validate_json_payload(
         ingest, "payload", SCHEMA, _ruleset(), key_cols=["k"])

@@ -19,12 +19,19 @@ and the whole flow stays declarative:
    payload's Option checks, and presence failures gate main rules
    (payload/impl.rs:17-53 short-circuit).
 
-Parity boundary (documented, like the phone plan subset): Spark's
-``from_json`` is PERMISSIVE per FIELD — a type-mismatched field (e.g. a
-string where an int is declared) becomes NULL and numbers quietly
-stringify into string fields, while serde fails the whole payload.
-Whole-payload shape errors match serde; per-field type errors surface
-only if a rule (e.g. ``required``) reads the nulled field.
+Serde parity (measured, not assumed): Spark's PERMISSIVE ``from_json``
+already sets the corrupt-record column when ANY field fails type
+conversion (string/float/array into int, object into scalar, ...), so
+a type-mismatched field fails the WHOLE payload with ``code='payload'``
+by default — the same outcome as serde's ``invalid type`` error.
+``strict_types=True`` adds serde's error-MESSAGE parity on top: one
+``get_json_object`` per top-level field re-probes the raw JSON to name
+the first field that parsed NULL while the raw text holds a non-null
+value there (``params['field']``), at the cost of those extra probes.
+The one undetectable class either way: a JSON number quietly
+stringifies into a declared string field (``text: 42`` → ``"42"``) —
+serde fails it, Spark's parser coerces it, and ``get_json_object``
+cannot tell the difference (both serialize to the same text).
 """
 
 from __future__ import annotations
@@ -47,7 +54,8 @@ def validate_json_payload(
         ruleset: RuleSet,
         key_cols: Sequence[str],
         dedup: bool = False,
-        barrier: bool = True) -> Tuple[DataFrame, DataFrame]:
+        barrier: bool = True,
+        strict_types: bool = False) -> Tuple[DataFrame, DataFrame]:
     """Deserialize ``json_col`` against ``schema`` and validate.
 
     Returns ``(parsed, violations)``:
@@ -62,6 +70,12 @@ def validate_json_payload(
       the engine's standard violation schema.
 
     ``schema`` field names must not collide with ``key_cols``.
+
+    Type-mismatched fields fail the whole payload by default (Spark's
+    PERMISSIVE parser marks them corrupt — serde ``invalid type``
+    parity). ``strict_types=True`` additionally names the first
+    offending top-level field in ``params['field']`` by re-probing the
+    raw JSON with ``get_json_object`` per declared field.
     """
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
@@ -76,6 +90,20 @@ def validate_json_payload(
         F.from_json(F.col(json_col), probe,
                     {"columnNameOfCorruptRecord": CORRUPT_COL}))
     is_bad = F.col("__payload").getField(CORRUPT_COL).isNotNull()
+    bad_field = F.lit(None).cast("string")
+    if strict_types:
+        # attribution only: a field that parsed NULL while the raw
+        # JSON holds a non-null value at its key is the failed
+        # conversion the corrupt column already flagged; explicit-null
+        # and missing-key both read NULL from get_json_object and stay
+        # Option::None. All codegen: one get_json_object per field.
+        mism = [F.when(F.col("__payload").getField(f).isNull()
+                       & F.get_json_object(F.col(json_col),
+                                           f"$.{f}").isNotNull(),
+                       F.lit(f))
+                for f in schema.fieldNames()]
+        bad_field = F.get(F.array_compact(F.array(*mism)), 0)
+        is_bad = is_bad | bad_field.isNotNull()
 
     key_cols = list(key_cols)
     bad_viol = (parsed.filter(is_bad)
@@ -83,7 +111,9 @@ def validate_json_payload(
                         make_violation(
                             PAYLOAD_CODE, None, "/", PAYLOAD_CODE,
                             "payload could not be deserialized",
-                            {"actual": F.col(json_col)}).alias("v"))
+                            {"actual": F.col(json_col),
+                             **({"field": bad_field}
+                                if strict_types else {})}).alias("v"))
                 .select(*key_cols, "v.*"))
 
     good = (parsed.filter(~is_bad)
