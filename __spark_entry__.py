@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 import validify_spark as vs
 from validify_spark.checks import (
     drift_report, categorical_histogram, ordering_violations,
+    conversation_shape_violations, ks_statistic, transcript_diff,
     referential_orphans, stats_profile_exact, uniqueness_violations,
 )
 from validify_spark.pipeline import (
@@ -840,7 +841,21 @@ def q_drift(spark, sf_dir):
                              bucket_size=50)
     ln = drift_report(lcur, lbase).withColumn(
         "family", F.lit("text_length"))
-    return cat.unionByName(ln)
+    # exact two-sample KS on a numeric column (even- vs odd-keyed
+    # o_totalprice): D *is* a max-abs-CDF-diff, so it rides in the
+    # max_abs_diff slot; psi/kl are NULL; n_buckets = total samples
+    ks = ks_statistic(
+        t.filter("o_orderkey % 2 = 0").select("o_totalprice"),
+        "o_totalprice",
+        t.filter("o_orderkey % 2 = 1").select("o_totalprice"),
+        "o_totalprice")
+    ksrow = (ks.select(
+        F.lit(None).cast("double").alias("psi"),
+        F.lit(None).cast("double").alias("kl"),
+        (F.col("n_left") + F.col("n_right")).alias("n_buckets"),
+        F.col("d").alias("max_abs_diff"))
+        .withColumn("family", F.lit("ks_numeric")))
+    return cat.unionByName(ln).unionByName(ksrow)
 
 
 def q_drift_length(spark, sf_dir):
@@ -856,8 +871,12 @@ def q_drift_length(spark, sf_dir):
 
 
 def q_ordering(spark, sf_dir):
-    """Ordering invariants over a derived sequence (dup idx at 3→2,
-    gap at 4→5; ts naturally out of order vs linenumber)."""
+    """Tagged union of three sequence checks over turns derived from
+    lineitem: per-pair ordering invariants (dup idx at 3→2, gap at
+    4→5, ts out of order), conversation-shape invariants (dropped
+    head, role repeats, wrong opener/closer, runaway length), and the
+    north_star per-turn text-equality diff between a table and a
+    poisoned replica. Families: 'ordering' | 'shape' | 'diff'."""
     _load(spark, sf_dir, "lineitem")
     t = spark.sql("""
       SELECT CAST(l_orderkey AS STRING) AS conv_id,
@@ -866,7 +885,49 @@ def q_ordering(spark, sf_dir):
                   ELSE l_linenumber END AS turn_idx,
              l_shipdate AS ts
       FROM lineitem""")
-    return ordering_violations(t)
+    ordering = (ordering_violations(t)
+                .withColumn("family", F.lit("ordering")))
+
+    # 0-based alternating turns; poisons: conv%11 loses its head
+    # (non-zero start + assistant opener), conv%13 repeats a role at
+    # turn 2; odd-length convs naturally end on 'user' (last_role);
+    # 7-turn convs exceed max_turns=6
+    shape_t = spark.sql("""
+      SELECT CAST(l_orderkey AS STRING) AS conv_id,
+             l_linenumber - 1 AS turn_idx,
+             CASE WHEN l_orderkey % 13 = 0 AND l_linenumber = 3
+                  THEN 'assistant'
+                  WHEN l_linenumber % 2 = 1 THEN 'user'
+                  ELSE 'assistant' END AS role,
+             l_shipdate AS ts
+      FROM lineitem
+      WHERE NOT (l_orderkey % 11 = 0 AND l_linenumber = 1)""")
+    shape = (conversation_shape_violations(
+        shape_t, ts_col="ts", zero_based=True, first_role="user",
+        last_role="assistant", alternate=True, max_turns=6)
+        .withColumn("family", F.lit("shape")))
+
+    # replica diff: conv%17 drops a turn, conv%19 mutates a text,
+    # conv%23 gains a ghost turn
+    d_left = spark.sql("""
+      SELECT CAST(l_orderkey AS STRING) AS conv_id,
+             l_linenumber AS turn_idx,
+             l_returnflag || l_linestatus AS text
+      FROM lineitem""")
+    d_right = spark.sql("""
+      SELECT CAST(l_orderkey AS STRING) AS conv_id,
+             l_linenumber AS turn_idx,
+             CASE WHEN l_orderkey % 19 = 0 AND l_linenumber = 1
+                  THEN l_returnflag || l_linestatus || '_X'
+                  ELSE l_returnflag || l_linestatus END AS text
+      FROM lineitem
+      WHERE NOT (l_orderkey % 17 = 0 AND l_linenumber = 2)
+      UNION ALL
+      SELECT CAST(l_orderkey AS STRING), CAST(100 AS BIGINT), 'ghost'
+      FROM lineitem WHERE l_orderkey % 23 = 0 AND l_linenumber = 1""")
+    diff = (transcript_diff(d_left, d_right)
+            .withColumn("family", F.lit("diff")))
+    return ordering.unionByName(shape).unionByName(diff)
 
 
 # ---------------------------------------------------------------------------
@@ -1720,7 +1781,22 @@ def oracle_sql() -> dict[str, str]:
                      FROM lbase),
           lj AS (
             SELECT coalesce(c.p, 0.0) AS p, coalesce(b.p, 0.0) AS q
-            FROM lcurp c FULL OUTER JOIN lbasep b USING (bucket))
+            FROM lcurp c FULL OUTER JOIN lbasep b USING (bucket)),
+          ku AS (
+            SELECT o_totalprice AS v, o_orderkey % 2 AS s
+            FROM orders WHERE o_totalprice IS NOT NULL),
+          kc AS (
+            SELECT v, count(*) FILTER (s = 0) AS n0,
+                   count(*) FILTER (s = 1) AS n1
+            FROM ku GROUP BY v),
+          kcdf AS (
+            SELECT sum(n0) OVER (ORDER BY v) AS c0,
+                   sum(n1) OVER (ORDER BY v) AS c1
+            FROM kc),
+          kt AS (
+            SELECT count(*) FILTER (s = 0) AS t0,
+                   count(*) FILTER (s = 1) AS t1
+            FROM ku)
           SELECT 'categorical' AS family,
             round(sum((greatest(p, 1e-6) - greatest(q, 1e-6))
                   * ln(greatest(p, 1e-6) / greatest(q, 1e-6))), 6) AS psi,
@@ -1739,7 +1815,13 @@ def oracle_sql() -> dict[str, str]:
                   ELSE 0.0 END), 6),
             count(*),
             round(max(abs(p - q)), 6)
-          FROM lj""",
+          FROM lj
+          UNION ALL
+          SELECT 'ks_numeric',
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            (SELECT t0 + t1 FROM kt),
+            round((SELECT max(abs(c0 * 1.0 / t0 - c1 * 1.0 / t1))
+                   FROM kcdf, kt), 6)""",
 
         "ordering": """
           WITH t AS (
@@ -1757,16 +1839,89 @@ def oracle_sql() -> dict[str, str]:
                    lag(ts) OVER
                      (PARTITION BY conv_id
                       ORDER BY turn_idx, ts) AS prev_ts
-            FROM t)
-          SELECT conv_id, turn_idx, 'dup_turn_idx' AS code FROM w
+            FROM t),
+          st AS (
+            SELECT CAST(l_orderkey AS STRING) AS conv_id,
+                   l_linenumber - 1 AS turn_idx,
+                   CASE WHEN l_orderkey % 13 = 0 AND l_linenumber = 3
+                        THEN 'assistant'
+                        WHEN l_linenumber % 2 = 1 THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   l_shipdate AS ts
+            FROM lineitem
+            WHERE NOT (l_orderkey % 11 = 0 AND l_linenumber = 1)),
+          sw AS (
+            SELECT conv_id, turn_idx, role,
+                   row_number() OVER win AS rn,
+                   count(*) OVER (PARTITION BY conv_id) AS n,
+                   lag(role) OVER win AS prev_role,
+                   first_value(turn_idx) OVER win AS f_idx,
+                   first_value(role) OVER win AS f_role,
+                   last_value(turn_idx) OVER win2 AS l_idx,
+                   last_value(role) OVER win2 AS l_role
+            FROM st
+            WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx, ts),
+                   win2 AS (PARTITION BY conv_id ORDER BY turn_idx, ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING)),
+          dl AS (
+            SELECT CAST(l_orderkey AS STRING) AS conv_id,
+                   l_linenumber AS turn_idx,
+                   l_returnflag || l_linestatus AS text
+            FROM lineitem),
+          dr AS (
+            SELECT CAST(l_orderkey AS STRING) AS conv_id,
+                   l_linenumber AS turn_idx,
+                   CASE WHEN l_orderkey % 19 = 0 AND l_linenumber = 1
+                        THEN l_returnflag || l_linestatus || '_X'
+                        ELSE l_returnflag || l_linestatus END AS text
+            FROM lineitem
+            WHERE NOT (l_orderkey % 17 = 0 AND l_linenumber = 2)
+            UNION ALL
+            SELECT CAST(l_orderkey AS STRING), 100, 'ghost'
+            FROM lineitem WHERE l_orderkey % 23 = 0
+              AND l_linenumber = 1),
+          dj AS (
+            SELECT coalesce(dl.conv_id, dr.conv_id) AS conv_id,
+                   coalesce(dl.turn_idx, dr.turn_idx) AS turn_idx,
+                   dl.text AS lt, dr.text AS rt,
+                   dl.conv_id IS NOT NULL AS inl,
+                   dr.conv_id IS NOT NULL AS inr
+            FROM dl FULL OUTER JOIN dr
+              ON dl.conv_id = dr.conv_id
+             AND dl.turn_idx = dr.turn_idx)
+          SELECT 'ordering' AS family, conv_id, turn_idx,
+                 'dup_turn_idx' AS code FROM w
           WHERE prev_idx IS NOT NULL AND turn_idx = prev_idx
           UNION ALL
-          SELECT conv_id, turn_idx, 'turn_idx_gap' FROM w
+          SELECT 'ordering', conv_id, turn_idx, 'turn_idx_gap' FROM w
           WHERE prev_idx IS NOT NULL AND turn_idx > prev_idx + 1
           UNION ALL
-          SELECT conv_id, turn_idx, 'ts_out_of_order' FROM w
+          SELECT 'ordering', conv_id, turn_idx, 'ts_out_of_order' FROM w
           WHERE prev_ts IS NOT NULL AND ts IS NOT NULL
-            AND ts < prev_ts""",
+            AND ts < prev_ts
+          UNION ALL
+          SELECT 'shape', conv_id, f_idx, 'first_idx_not_zero' FROM sw
+          WHERE rn = 1 AND f_idx != 0
+          UNION ALL
+          SELECT 'shape', conv_id, f_idx, 'first_role' FROM sw
+          WHERE rn = 1 AND f_role IS DISTINCT FROM 'user'
+          UNION ALL
+          SELECT 'shape', conv_id, l_idx, 'last_role' FROM sw
+          WHERE rn = 1 AND l_role IS DISTINCT FROM 'assistant'
+          UNION ALL
+          SELECT 'shape', conv_id, turn_idx, 'role_repeat' FROM sw
+          WHERE rn > 1 AND role IS NOT DISTINCT FROM prev_role
+          UNION ALL
+          SELECT 'shape', conv_id, CAST(NULL AS BIGINT),
+                 'too_many_turns' FROM sw
+          WHERE rn = 1 AND n > 6
+          UNION ALL
+          SELECT 'diff', conv_id, turn_idx,
+                 CASE WHEN NOT inr THEN 'missing_in_right'
+                      WHEN NOT inl THEN 'missing_in_left'
+                      ELSE 'text_mismatch' END
+          FROM dj WHERE NOT inr OR NOT inl OR lt <> rt""",
 
         "dedup_exact": f"""
           WITH docs2 AS ({_DOCS2_SQL}),

@@ -10,6 +10,9 @@ from .uniqueness import uniqueness_violations
 from .referential import referential_orphans
 from .drift import categorical_histogram, drift_report, length_histogram
 from .ordering import ordering_violations
+from .conversation import conversation_shape_violations
+from .diffcheck import transcript_diff
+from .ks import ks_statistic
 from .skew import (heavy_hitters, heavy_hitters_sketch,
                    salted_agg, salted_collect_list, with_salt)
 
@@ -19,6 +22,7 @@ __all__ = [
     "uniqueness_violations",
     "referential_orphans", "categorical_histogram", "length_histogram",
     "drift_report", "ordering_violations",
+    "conversation_shape_violations", "transcript_diff", "ks_statistic",
     "salted_agg", "salted_collect_list", "with_salt",
     "heavy_hitters", "heavy_hitters_sketch",
 ]

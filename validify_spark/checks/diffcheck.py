@@ -1,0 +1,60 @@
+"""Per-turn text-equality diff between two transcript tables — the
+north_star acceptance invariant verbatim: "preserving per-turn text
+equality under stable (conv_id, turn_idx) ordering". Run it between a
+pipeline's input and output (or a table and its replica/migration) to
+prove no turn was dropped, duplicated into the wrong slot, or had its
+text mutated.
+
+Codes:
+
+- ``missing_in_right`` — (conv_id, turn_idx) exists on the left only.
+- ``missing_in_left``  — exists on the right only.
+- ``text_mismatch``    — both sides have the turn, text differs.
+
+Scale shape: each side is projected to (conv_id, turn_idx, md5(text))
+BEFORE the join, so the shuffle moves a 32-char digest instead of the
+full turn text — at 100 TB that is the difference between shuffling
+the corpus and shuffling ~50 bytes/row. The join co-partitions both
+sides on the same (conv_id, turn_idx) keys: one shuffle per side, no
+broadcast needed, AQE handles skewed hot conversations. md5 is exact
+for equality-of-digest ⇒ equality-of-text up to collisions
+(2^-64-scale; pass ``digest=False`` to shuffle and compare raw text).
+
+If either side has duplicate (conv_id, turn_idx) keys the join
+multiplies rows — run :func:`..checks.uniqueness_violations` /
+:func:`.ordering_violations` first; this check assumes the key is
+unique per side (it is the table's primary key in the reference
+model).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def transcript_diff(left: DataFrame, right: DataFrame,
+                    conv_col: str = "conv_id",
+                    idx_col: str = "turn_idx",
+                    text_col: str = "text",
+                    digest: bool = True) -> DataFrame:
+    """One row per diff violation: <conv_col>, <idx_col>, code."""
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        probe = (F.md5(F.col(text_col).cast("string")) if digest
+                 else F.col(text_col).cast("string"))
+        # NULL text gets a sentinel so "both NULL" compares equal and
+        # "NULL vs non-NULL" is a mismatch (eqNullSafe via coalesce)
+        return df.select(
+            F.col(conv_col).alias(conv_col),
+            F.col(idx_col).alias(idx_col),
+            F.coalesce(probe, F.lit("__null__")).alias(f"_h_{tag}"),
+            F.lit(True).alias(f"_in_{tag}"))
+
+    j = (_side(left, "l")
+         .join(_side(right, "r"), on=[conv_col, idx_col],
+               how="full_outer"))
+    code = (F.when(F.col("_in_r").isNull(), F.lit("missing_in_right"))
+             .when(F.col("_in_l").isNull(), F.lit("missing_in_left"))
+             .when(F.col("_h_l") != F.col("_h_r"),
+                   F.lit("text_mismatch")))
+    return (j.select(conv_col, idx_col, code.alias("code"))
+             .filter(F.col("code").isNotNull()))
