@@ -1,3 +1,4 @@
+from .conversation import stream_conversation_shape
 from .dedup import stream_exact_dedup
 from .profile import (stream_column_profile, stream_drift,
                       stream_length_drift)
@@ -10,4 +11,4 @@ __all__ = ["stream_violations", "stream_partition_metrics",
            "stream_ordering_violations", "stream_exact_dedup",
            "stream_column_profile", "stream_drift",
            "stream_length_drift", "stream_simhash_pairs",
-           "stream_referential_orphans"]
+           "stream_referential_orphans", "stream_conversation_shape"]
