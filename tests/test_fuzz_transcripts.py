@@ -1,0 +1,210 @@
+"""Seeded fuzzer for the transcript-level checks: random transcripts x
+random check configs, each trial cross-checked against a mechanical
+DuckDB oracle (conversation shape, transcript diff) or against the
+batch twin (streaming conversation shape). Style mirrors
+tests/test_fuzz_parity.py: deterministic seeds, every trial asserts
+full violation-set equality."""
+
+import random
+import time as _time
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from validify_spark.checks import (
+    conversation_shape_violations, transcript_diff,
+)
+from validify_spark.streaming import stream_conversation_shape
+
+ROLES = ["user", "assistant", "system", "tool"]
+SCHEMA = "conv_id string, turn_idx int, role string, text string, ts long"
+
+
+def _gen_turns(rng: random.Random):
+    """Random transcripts with seeded shape poisons: shifted starts,
+    wrong openers/closers, role repeats, NULL roles, runaway lengths.
+    turn_idx is never NULL and (idx, ts) never ties (the batch check's
+    struct sort and an ORDER BY idx, ts oracle agree trivially then —
+    NULL-idx ordering divergence is out of contract, same as the fixed
+    tests)."""
+    rows = []
+    for c in range(rng.randint(3, 9)):
+        conv = f"c{c}"
+        n = rng.randint(1, 9)
+        start = rng.choice([0, 0, 0, 1, rng.randint(0, 3)])
+        opener = rng.choice(ROLES[:3])
+        ts = rng.randint(0, 1000)
+        role_prev = None
+        for k in range(n):
+            role = (ROLES[(ROLES.index(opener) + k) % 2]
+                    if opener in ROLES[:2] else rng.choice(ROLES))
+            if rng.random() < 0.15 and role_prev is not None:
+                role = role_prev  # forced repeat
+            if rng.random() < 0.08:
+                role = None  # NULL role
+            rows.append((conv, start + k, role, f"t{c}_{k}", ts))
+            ts += rng.randint(1, 9)
+            role_prev = role
+    return rows
+
+
+def _gen_config(rng: random.Random):
+    cfg = dict(
+        zero_based=rng.random() < 0.7,
+        first_role=rng.choice([None, "user", "system"]),
+        last_role=rng.choice([None, "assistant"]),
+        alternate=rng.random() < 0.5,
+        max_turns=rng.choice([None, None, 3, 4, 6]),
+    )
+    if not any(cfg.values()):
+        cfg["zero_based"] = True
+    return cfg
+
+
+def _shape_oracle_sql(cfg) -> str:
+    arms = []
+    if cfg["zero_based"]:
+        arms.append("""
+          SELECT conv_id, f_idx AS turn_idx,
+                 'first_idx_not_zero' AS code
+          FROM s WHERE rn = 1 AND f_idx != 0""")
+    if cfg["first_role"] is not None:
+        arms.append(f"""
+          SELECT conv_id, f_idx, 'first_role' FROM s
+          WHERE rn = 1 AND f_role IS DISTINCT FROM '{cfg["first_role"]}'""")
+    if cfg["last_role"] is not None:
+        arms.append(f"""
+          SELECT conv_id, l_idx, 'last_role' FROM s
+          WHERE rn = 1 AND l_role IS DISTINCT FROM '{cfg["last_role"]}'""")
+    if cfg["max_turns"] is not None:
+        arms.append(f"""
+          SELECT conv_id, NULL, 'too_many_turns' FROM s
+          WHERE rn = 1 AND n > {cfg["max_turns"]}""")
+    if cfg["alternate"]:
+        arms.append("""
+          SELECT conv_id, turn_idx, 'role_repeat' FROM s
+          WHERE rn > 1 AND prev_role IS NOT DISTINCT FROM role""")
+    return """
+      WITH s AS (
+        SELECT conv_id, turn_idx, role,
+               row_number() OVER w AS rn,
+               count(*)    OVER (PARTITION BY conv_id) AS n,
+               lag(role)   OVER w AS prev_role,
+               first_value(role) OVER w AS f_role,
+               first_value(turn_idx) OVER w AS f_idx,
+               last_value(role) OVER w2 AS l_role,
+               last_value(turn_idx) OVER w2 AS l_idx
+        FROM t WINDOW
+          w AS (PARTITION BY conv_id ORDER BY turn_idx, ts),
+          w2 AS (PARTITION BY conv_id ORDER BY turn_idx, ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+      )""" + " UNION ALL ".join(arms)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_fuzz_conversation_shape_vs_duckdb(spark, seed):
+    rng = random.Random(1000 + seed)
+    rows, cfg = _gen_turns(rng), _gen_config(rng)
+    got = {(r["conv_id"], r["turn_idx"], r["code"])
+           for r in conversation_shape_violations(
+               spark.createDataFrame(rows, SCHEMA),
+               ts_col="ts", **cfg).collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "ts"]))
+    exp = set(map(tuple, con.execute(_shape_oracle_sql(cfg)).fetchall()))
+    assert got == exp, f"seed={seed} cfg={cfg}\n got={sorted(got, key=str)}\n exp={sorted(exp, key=str)}"
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_transcript_diff_vs_duckdb(spark, seed):
+    rng = random.Random(2000 + seed)
+    left = _gen_turns(rng)
+    right, ghosts = [], []
+    for conv, idx, role, text, ts in left:
+        p = rng.random()
+        if p < 0.10:
+            continue                       # dropped turn
+        if p < 0.20:
+            text = rng.choice(["MUT_" + text, None])  # mutated / nulled
+        elif text is not None and rng.random() < 0.05:
+            text = None
+        right.append((conv, idx, role, text, ts))
+    for g in range(rng.randint(0, 3)):     # ghost turns
+        ghosts.append((f"ghost{g}", g, "user", "boo", 0))
+    right += ghosts
+    # NULL text on the left too (both-NULL must compare equal)
+    left = [(c, i, r, None if rng.random() < 0.07 else t, ts)
+            for c, i, r, t, ts in left]
+
+    l_df = spark.createDataFrame(left, SCHEMA)
+    r_df = spark.createDataFrame(right, SCHEMA)
+    use_digest = seed % 2 == 0
+    got = {(r["conv_id"], r["turn_idx"], r["code"])
+           for r in transcript_diff(l_df, r_df,
+                                    digest=use_digest).collect()}
+    con = duckdb.connect()
+    cols = ["conv_id", "turn_idx", "role", "text", "ts"]
+    con.register("l", pd.DataFrame(left, columns=cols))
+    con.register("r", pd.DataFrame(right, columns=cols))
+    exp = set(map(tuple, con.execute("""
+      SELECT coalesce(l.conv_id, r.conv_id),
+             coalesce(l.turn_idx, r.turn_idx),
+             CASE WHEN r.conv_id IS NULL THEN 'missing_in_right'
+                  WHEN l.conv_id IS NULL THEN 'missing_in_left'
+                  WHEN l.text IS DISTINCT FROM r.text
+                       THEN 'text_mismatch' END
+      FROM l FULL OUTER JOIN r
+        ON l.conv_id = r.conv_id AND l.turn_idx = r.turn_idx
+      WHERE (r.conv_id IS NULL) OR (l.conv_id IS NULL)
+         OR (l.text IS DISTINCT FROM r.text)
+    """).fetchall()))
+    assert got == exp, f"seed={seed} digest={use_digest}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_stream_shape_equals_batch(spark, tmpdir, seed):
+    """Random transcripts split into random micro-batches: the
+    streaming check's finalized violations equal the batch check's on
+    the union (ts kept tight vs the session gap, watermark wide, so
+    neither late-drop nor fragmentation perturbs the comparison)."""
+    rng = random.Random(3000 + seed)
+    rows = _gen_turns(rng)
+    cfg = _gen_config(rng)
+    n_batches = rng.randint(2, 3)
+    batches = [[] for _ in range(n_batches)]
+    for row in rows:
+        batches[rng.randrange(n_batches)].append(row)
+    batches = [b for b in batches if b]
+    batches.append([("zz_flush", 0, "user", "f", 10**9)])
+
+    src_dir = f"{tmpdir}/fz{seed}_src"
+    for b in batches:
+        (spark.createDataFrame(b, SCHEMA)
+         .select("conv_id", "turn_idx", "role",
+                 F.col("ts").cast("timestamp").alias("ts"))
+         .coalesce(1).write.mode("append").parquet(src_dir))
+        _time.sleep(1.1)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    q = (stream_conversation_shape(
+            stream, ts_col="ts", watermark="365 days",
+            session_gap="365 days", **cfg)
+         .writeStream.format("memory").queryName(f"fz{seed}")
+         .option("checkpointLocation", f"{tmpdir}/fz{seed}_ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r.conv_id, r.turn_idx, r.code)
+           for r in spark.sql(f"SELECT * FROM fz{seed}").collect()}
+
+    batch = {(r["conv_id"], r["turn_idx"], r["code"])
+             for r in conversation_shape_violations(
+                 spark.createDataFrame(rows, SCHEMA)
+                 .select("conv_id", "turn_idx", "role",
+                         F.col("ts").cast("timestamp").alias("ts")),
+                 ts_col="ts", **cfg).collect()}
+    assert got == batch, f"seed={seed} cfg={cfg}"
