@@ -26,6 +26,7 @@ import validify_spark as vs
 from validify_spark.checks import (
     drift_report, categorical_histogram, ordering_violations,
     conversation_shape_violations, ks_statistic, transcript_diff,
+    wasserstein_distance,
     referential_orphans, stats_profile_exact, uniqueness_violations,
 )
 from validify_spark.pipeline import (
@@ -855,7 +856,23 @@ def q_drift(spark, sf_dir):
         (F.col("n_left") + F.col("n_right")).alias("n_buckets"),
         F.col("d").alias("max_abs_diff"))
         .withColumn("family", F.lit("ks_numeric")))
-    return cat.unionByName(ln).unionByName(ksrow)
+    # exact W1 (earth-mover) on the same split — magnitude-weighted
+    # complement to KS; the distance rides the max_abs_diff slot too
+    # (scaled by 1e-4 to stay in the same order of magnitude as the
+    # unit-interval stats — it is a price-scale quantity)
+    w1 = wasserstein_distance(
+        t.filter("o_orderkey % 2 = 0").select("o_totalprice"),
+        "o_totalprice",
+        t.filter("o_orderkey % 2 = 1").select("o_totalprice"),
+        "o_totalprice")
+    w1row = (w1.select(
+        F.lit(None).cast("double").alias("psi"),
+        F.lit(None).cast("double").alias("kl"),
+        (F.col("n_left") + F.col("n_right")).alias("n_buckets"),
+        F.round(F.col("w1") * 1e-4, 6).alias("max_abs_diff"))
+        .withColumn("family", F.lit("wasserstein")))
+    return (cat.unionByName(ln).unionByName(ksrow)
+            .unionByName(w1row))
 
 
 def q_drift_length(spark, sf_dir):
@@ -1793,6 +1810,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT sum(n0) OVER (ORDER BY v) AS c0,
                    sum(n1) OVER (ORDER BY v) AS c1
             FROM kc),
+          kcdf2 AS (
+            SELECT v, sum(n0) OVER (ORDER BY v) AS c0,
+                   sum(n1) OVER (ORDER BY v) AS c1
+            FROM kc),
           kt AS (
             SELECT count(*) FILTER (s = 0) AS t0,
                    count(*) FILTER (s = 1) AS t1
@@ -1821,7 +1842,17 @@ def oracle_sql() -> dict[str, str]:
             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
             (SELECT t0 + t1 FROM kt),
             round((SELECT max(abs(c0 * 1.0 / t0 - c1 * 1.0 / t1))
-                   FROM kcdf, kt), 6)""",
+                   FROM kcdf, kt), 6)
+          UNION ALL
+          SELECT 'wasserstein',
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            (SELECT t0 + t1 FROM kt),
+            round(round((SELECT sum(abs(c0 * 1.0 / t0 - c1 * 1.0 / t1)
+                                    * (nv - v))
+                         FROM (SELECT v, c0, c1,
+                                      lead(v) OVER (ORDER BY v) AS nv
+                               FROM kcdf2) , kt
+                         WHERE nv IS NOT NULL), 6) * 1e-4, 6)""",
 
         "ordering": """
           WITH t AS (

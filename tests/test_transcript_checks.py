@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from validify_spark.checks import (
     conversation_shape_violations, ks_statistic, transcript_diff,
+    wasserstein_distance,
 )
 
 
@@ -207,3 +208,90 @@ def test_ks_empty_side_raises(spark):
     empty = df.filter("v < 0")
     with pytest.raises(ValueError, match="no non-null"):
         ks_statistic(df, "v", empty, "v")
+
+
+_W1_ORACLE = """
+  WITH u AS (SELECT v, 0 AS s FROM ta UNION ALL
+             SELECT v, 1 FROM tb),
+  c AS (SELECT v, count(*) FILTER (s = 0) AS n0,
+               count(*) FILTER (s = 1) AS n1 FROM u GROUP BY v),
+  cdf AS (SELECT v,
+            sum(n0) OVER (ORDER BY v) / {t0} AS f0,
+            sum(n1) OVER (ORDER BY v) / {t1} AS f1,
+            lead(v) OVER (ORDER BY v) AS nv
+          FROM c)
+  SELECT round(sum(abs(f0 - f1) * (nv - v)), 6)
+  FROM cdf WHERE nv IS NOT NULL
+"""
+
+
+def _w1_oracle(a, b):
+    con = duckdb.connect()
+    con.register("ta", pd.DataFrame({"v": a}))
+    con.register("tb", pd.DataFrame({"v": b}))
+    return con.execute(
+        _W1_ORACLE.format(t0=f"{len(a)}.0", t1=f"{len(b)}.0")
+    ).fetchone()[0]
+
+
+def test_wasserstein_point_masses(spark):
+    # all mass at 0 vs all mass at 1: move everything distance 1
+    a = spark.range(100).selectExpr("CAST(0 AS DOUBLE) AS v")
+    b = spark.range(50).selectExpr("CAST(1 AS DOUBLE) AS v")
+    row = wasserstein_distance(a, "v", b, "v",
+                               num_partitions=4).collect()[0]
+    assert row["w1"] == 1.0
+    assert (row["n_left"], row["n_right"]) == (100, 50)
+
+
+def test_wasserstein_shift_is_exact_shift(spark):
+    # X and X + c have W1 = c exactly
+    a = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v")
+    b = spark.range(1000).selectExpr("CAST(id + 7.5 AS DOUBLE) AS v")
+    row = wasserstein_distance(a, "v", b, "v",
+                               num_partitions=8).collect()[0]
+    assert row["w1"] == pytest.approx(7.5, abs=1e-6)
+
+
+def test_wasserstein_vs_duckdb_random(spark):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    a = rng.normal(0.0, 1.0, 3000).round(2)   # rounding forces ties
+    b = rng.normal(0.4, 1.3, 2000).round(2)
+    la = spark.createDataFrame(pd.DataFrame({"v": a}))
+    lb = spark.createDataFrame(pd.DataFrame({"x": b}))
+    row = wasserstein_distance(la, "v", lb, "x",
+                               num_partitions=8).collect()[0]
+    assert row["w1"] == pytest.approx(_w1_oracle(a, b), abs=1e-6)
+    assert 0.2 < row["w1"] < 1.0  # the 0.4 shift dominates
+
+
+def test_wasserstein_chunk_seams(spark):
+    """Tiny Arrow batches split buckets and tie groups across chunk
+    seams — the carried (prev_v, prev_d) must stitch them exactly."""
+    import numpy as np
+    a = np.repeat(np.arange(50, dtype=float), 20)   # heavy ties
+    b = np.repeat(np.arange(25, 75, dtype=float), 8)
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf, None)
+    spark.conf.set(conf, "7")
+    try:
+        la = spark.createDataFrame(pd.DataFrame({"v": a}))
+        lb = spark.createDataFrame(pd.DataFrame({"v": b}))
+        row = wasserstein_distance(la, "v", lb, "v",
+                                   num_partitions=5).collect()[0]
+    finally:
+        if old is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, old)
+    assert row["w1"] == pytest.approx(_w1_oracle(a, b), abs=1e-6)
+
+
+def test_wasserstein_identical_zero_and_empty_raises(spark):
+    df = spark.range(300).selectExpr("CAST(id % 17 AS DOUBLE) AS v")
+    row = wasserstein_distance(df, "v", df, "v",
+                               num_partitions=4).collect()[0]
+    assert row["w1"] == 0.0
+    with pytest.raises(ValueError, match="no non-null"):
+        wasserstein_distance(df, "v", df.filter("v < 0"), "v")

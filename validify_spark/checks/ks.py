@@ -35,6 +35,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ._cdf import bucket_stats, bucketed, tagged_union
+
 
 def ks_statistic(left: DataFrame, left_col: str,
                  right: DataFrame, right_col: str | None = None,
@@ -49,36 +51,11 @@ def ks_statistic(left: DataFrame, left_col: str,
     spark = left.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
 
-    u = (left.select(F.col(left_col).cast("double").alias("v"),
-                     F.lit(0).alias("s"))
-         .unionAll(right.select(
-             F.col(right_col).cast("double").alias("v"),
-             F.lit(1).alias("s")))
-         .filter(F.col("v").isNotNull() & ~F.isnan("v")))
-
-    # deterministic bucket boundaries (GK sketch — no sampling RNG);
-    # duplicates collapse so ≤ p-1 strictly increasing cut points
-    qs = [i / p for i in range(1, p)]
-    cuts = sorted(set(u.approxQuantile("v", qs, 0.01))) if p > 1 else []
-    bkt = F.lit(0)
-    for c in cuts:
-        bkt = bkt + F.when(F.col("v") >= c, 1).otherwise(0)
-    ub = u.select("v", "s", bkt.alias("b"))
-
-    cnt = (ub.groupBy("b")
-           .agg(F.count(F.when(F.col("s") == 0, 1)).alias("n0"),
-                F.count(F.when(F.col("s") == 1, 1)).alias("n1"))
-           .collect())
-    by_b = {r["b"]: (r["n0"], r["n1"]) for r in cnt}
-    n0 = sum(v[0] for v in by_b.values())
-    n1 = sum(v[1] for v in by_b.values())
+    u = tagged_union(left, left_col, right, right_col)
+    ub = bucketed(u, p)
+    by_b, offsets, n0, n1 = bucket_stats(ub)
     if n0 == 0 or n1 == 0:
         raise ValueError("ks_statistic: a side has no non-null values")
-    offsets, c0, c1 = {}, 0, 0
-    for b in sorted(by_b):
-        offsets[b] = (c0, c1)
-        c0 += by_b[b][0]
-        c1 += by_b[b][1]
 
     def _part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
