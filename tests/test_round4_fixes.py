@@ -267,7 +267,8 @@ def test_merged_queries_cover_both_parts(spark):
     assert srcs == {"synth_v4", "truth_table"}
     drift = E.q_drift(spark, sf)
     fams = {r.family for r in drift.select("family").collect()}
-    assert fams == {"categorical", "text_length"}
+    assert fams == {"categorical", "text_length", "ks_numeric",
+                    "wasserstein"}
     mm = E.q_multimodal_decode(spark, sf)
     assert {"width", "height", "checksum", "resized_checksum"} <= set(
         mm.columns)
