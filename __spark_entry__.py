@@ -25,8 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 import validify_spark as vs
 from validify_spark.checks import (
     drift_report, categorical_histogram, ordering_violations,
-    conversation_shape_violations, ks_statistic, transcript_diff,
-    wasserstein_distance,
+    cdf_drift, conversation_shape_violations, transcript_diff,
     referential_orphans, stats_profile_exact, uniqueness_violations,
 )
 from validify_spark.pipeline import (
@@ -842,37 +841,32 @@ def q_drift(spark, sf_dir):
                              bucket_size=50)
     ln = drift_report(lcur, lbase).withColumn(
         "family", F.lit("text_length"))
-    # exact two-sample KS on a numeric column (even- vs odd-keyed
-    # o_totalprice): D *is* a max-abs-CDF-diff, so it rides in the
-    # max_abs_diff slot; psi/kl are NULL; n_buckets = total samples
-    ks = ks_statistic(
+    # exact two-sample KS + W1 on a numeric column (even- vs odd-keyed
+    # o_totalprice) from ONE fused CDF pass (checks.cdf_drift): both
+    # are CDF-difference readings, so the second family costs zero
+    # extra scans. Each distance rides the max_abs_diff slot (W1
+    # scaled by 1e-4 — a price-scale quantity — to sit in the same
+    # order of magnitude as the unit-interval stats); psi/kl NULL;
+    # n_buckets = total samples. The two family rows explode out of
+    # the same 1-row stats DataFrame: one execution, two rows.
+    stats = cdf_drift(
         t.filter("o_orderkey % 2 = 0").select("o_totalprice"),
         "o_totalprice",
         t.filter("o_orderkey % 2 = 1").select("o_totalprice"),
         "o_totalprice")
-    ksrow = (ks.select(
-        F.lit(None).cast("double").alias("psi"),
-        F.lit(None).cast("double").alias("kl"),
-        (F.col("n_left") + F.col("n_right")).alias("n_buckets"),
-        F.col("d").alias("max_abs_diff"))
-        .withColumn("family", F.lit("ks_numeric")))
-    # exact W1 (earth-mover) on the same split — magnitude-weighted
-    # complement to KS; the distance rides the max_abs_diff slot too
-    # (scaled by 1e-4 to stay in the same order of magnitude as the
-    # unit-interval stats — it is a price-scale quantity)
-    w1 = wasserstein_distance(
-        t.filter("o_orderkey % 2 = 0").select("o_totalprice"),
-        "o_totalprice",
-        t.filter("o_orderkey % 2 = 1").select("o_totalprice"),
-        "o_totalprice")
-    w1row = (w1.select(
-        F.lit(None).cast("double").alias("psi"),
-        F.lit(None).cast("double").alias("kl"),
-        (F.col("n_left") + F.col("n_right")).alias("n_buckets"),
-        F.round(F.col("w1") * 1e-4, 6).alias("max_abs_diff"))
-        .withColumn("family", F.lit("wasserstein")))
-    return (cat.unionByName(ln).unionByName(ksrow)
-            .unionByName(w1row))
+    nulld = F.lit(None).cast("double")
+    n_tot = (F.col("n_left") + F.col("n_right"))
+    cdfrows = (stats.select(F.explode(F.array(
+        F.struct(nulld.alias("psi"), nulld.alias("kl"),
+                 n_tot.alias("n_buckets"),
+                 F.col("d").alias("max_abs_diff"),
+                 F.lit("ks_numeric").alias("family")),
+        F.struct(nulld.alias("psi"), nulld.alias("kl"),
+                 n_tot.alias("n_buckets"),
+                 F.round(F.col("w1") * 1e-4, 6).alias("max_abs_diff"),
+                 F.lit("wasserstein").alias("family")))).alias("r"))
+        .select("r.*"))
+    return cat.unionByName(ln).unionByName(cdfrows)
 
 
 def q_drift_length(spark, sf_dir):

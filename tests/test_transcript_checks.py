@@ -288,6 +288,18 @@ def test_wasserstein_chunk_seams(spark):
     assert row["w1"] == pytest.approx(_w1_oracle(a, b), abs=1e-6)
 
 
+def test_cdf_drift_fused_equals_wrappers(spark):
+    from validify_spark.checks import cdf_drift
+    a = spark.range(800).selectExpr("CAST(id % 37 AS DOUBLE) AS v")
+    b = spark.range(600).selectExpr("CAST((id + 9) % 41 AS DOUBLE) AS v")
+    fused = cdf_drift(a, "v", b, "v", num_partitions=6).collect()[0]
+    ks = ks_statistic(a, "v", b, "v", num_partitions=6).collect()[0]
+    w1 = wasserstein_distance(a, "v", b, "v",
+                              num_partitions=6).collect()[0]
+    assert fused["d"] == ks["d"] and fused["w1"] == w1["w1"]
+    assert fused["n_left"] == 800 and fused["n_right"] == 600
+
+
 def test_wasserstein_identical_zero_and_empty_raises(spark):
     df = spark.range(300).selectExpr("CAST(id % 17 AS DOUBLE) AS v")
     row = wasserstein_distance(df, "v", df, "v",

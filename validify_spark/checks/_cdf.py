@@ -1,12 +1,18 @@
 """Shared machinery for exact two-sample empirical-CDF statistics
 (:mod:`.ks`, :mod:`.wasserstein`): deterministic value-bucketing of the
-tagged union of two samples, per-bucket counts, and driver-side prefix
-offsets. See ks.py's module docstring for why the bucket id must be a
-pure function of the value (approxQuantile cut points, not
+tagged union of two samples, per-bucket counts, driver-side prefix
+offsets, and ONE fused streaming Arrow pass that computes both
+statistics — KS's sup |F_l - F_r| and W1's ∫ |F_l - F_r| dx read the
+same after-each-value-group CDF differences, so asking for both costs
+one scan, not two. See ks.py's module docstring for why the bucket id
+must be a pure function of the value (approxQuantile cut points, not
 ``repartitionByRange``'s per-action re-sampling)."""
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -54,3 +60,85 @@ def bucket_stats(ub: DataFrame, with_minmax: bool = False):
         c0 += by_b[b]["n0"]
         c1 += by_b[b]["n1"]
     return by_b, offsets, n0, n1
+
+
+def two_sample_stats(left: DataFrame, left_col: str,
+                     right: DataFrame, right_col: str | None,
+                     num_partitions: int | None,
+                     round_to: int, caller: str) -> DataFrame:
+    """Fused exact KS + W1 over the two samples, one pass.
+
+    Returns a 1-row DataFrame (d, w1, n_left, n_right). The streaming
+    per-partition scan carries (bucket, running counts, last value,
+    CDF-diff after it) across Arrow chunk seams; |F_l - F_r| is read
+    only after complete value groups (the KS tie convention — and
+    exactly the heights the W1 integral needs, each weighted by the
+    gap to the next distinct value). Inter-bucket W1 gap terms use
+    only per-bucket offsets/min/max, folded in driver-side; the KS
+    sup over those constant stretches is the bucket-end height,
+    already closed at each bucket change / partition end.
+    """
+    right_col = right_col or left_col
+    spark = left.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+
+    u = tagged_union(left, left_col, right, right_col)
+    ub = bucketed(u, p)
+    by_b, offsets, n0, n1 = bucket_stats(ub, with_minmax=True)
+    if n0 == 0 or n1 == 0:
+        raise ValueError(f"{caller}: a side has no non-null values")
+
+    boundary = 0.0
+    order = sorted(by_b)
+    for b_prev, b_next in zip(order, order[1:]):
+        c0, c1 = offsets[b_next]
+        boundary += (abs(c0 / n0 - c1 / n1)
+                     * (by_b[b_next]["min_v"] - by_b[b_prev]["max_v"]))
+
+    def _part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        best = 0.0        # KS: running sup of closed-group |F diff|
+        total = 0.0       # W1: running interior integral
+        cur_b = None
+        run0 = run1 = 0
+        prev_v = None
+        prev_d = None     # |F_l - F_r| after the last-seen value group
+        for pdf in batches:
+            for b_val, grp in pdf.groupby("b", sort=True):
+                if b_val != cur_b:
+                    if prev_d is not None:  # bucket end closes group
+                        best = max(best, prev_d)
+                    cur_b = b_val
+                    run0, run1 = offsets[b_val]
+                    prev_v = prev_d = None
+                v = grp["v"].to_numpy()
+                s = grp["s"].to_numpy()
+                cum0 = run0 + np.cumsum(s == 0)
+                cum1 = run1 + np.cumsum(s == 1)
+                run0, run1 = int(cum0[-1]), int(cum1[-1])
+                d = np.abs(cum0 / n0 - cum1 / n1)
+                if prev_v is not None and v[0] != prev_v:
+                    # chunk seam on a value change closes prev group
+                    best = max(best, prev_d)
+                    total += prev_d * (float(v[0]) - prev_v)
+                ends = np.nonzero(v[:-1] != v[1:])[0]
+                if ends.size:
+                    best = max(best, float(d[ends].max()))
+                    total += float(
+                        (d[ends] * (v[ends + 1] - v[ends])).sum())
+                prev_v = float(v[-1])
+                prev_d = float(d[-1])
+        if prev_d is not None:  # partition end closes the last group
+            best = max(best, prev_d)
+        yield pd.DataFrame({"local_d": [best], "partial": [total]})
+
+    local = (ub.repartition(p, "b")
+             .sortWithinPartitions("b", "v")
+             .mapInPandas(_part, schema="local_d double, partial double"))
+    return (local.agg(
+        F.round(F.max("local_d"), round_to).alias("d"),
+        F.round(F.sum("partial") + F.lit(boundary), round_to)
+        .alias("w1"))
+        .select("d", "w1",
+                F.lit(n0).cast("long").alias("n_left"),
+                F.lit(n1).cast("long").alias("n_right")))

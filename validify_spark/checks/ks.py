@@ -30,12 +30,9 @@ driver-side data is the per-bucket count table.
 
 from __future__ import annotations
 
-from typing import Iterator
+from pyspark.sql import DataFrame
 
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F
-
-from ._cdf import bucket_stats, bucketed, tagged_union
+from ._cdf import two_sample_stats
 
 
 def ks_statistic(left: DataFrame, left_col: str,
@@ -45,55 +42,23 @@ def ks_statistic(left: DataFrame, left_col: str,
     """Exact two-sample KS over a numeric column of each side.
 
     Returns a 1-row DataFrame: (d, n_left, n_right). NULL/NaN values
-    are excluded (they have no position on the real line).
+    are excluded (they have no position on the real line). The scan
+    (``_cdf.two_sample_stats``) computes W1 alongside for free — use
+    :func:`.cdf_drift` to read both from one pass.
     """
-    right_col = right_col or left_col
-    spark = left.sparkSession
-    p = num_partitions or spark.sparkContext.defaultParallelism
+    return two_sample_stats(left, left_col, right, right_col,
+                            num_partitions, round_to,
+                            "ks_statistic").select(
+        "d", "n_left", "n_right")
 
-    u = tagged_union(left, left_col, right, right_col)
-    ub = bucketed(u, p)
-    by_b, offsets, n0, n1 = bucket_stats(ub)
-    if n0 == 0 or n1 == 0:
-        raise ValueError("ks_statistic: a side has no non-null values")
 
-    def _part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-        best = 0.0
-        cur_b = None
-        run0 = run1 = 0
-        prev_v = None
-        prev_d = None  # |F_l - F_r| after the last-seen value group
-        for pdf in batches:
-            for b_val, grp in pdf.groupby("b", sort=True):
-                if b_val != cur_b:
-                    if prev_d is not None:  # bucket end closes group
-                        best = max(best, prev_d)
-                    cur_b = b_val
-                    run0, run1 = offsets[b_val]
-                    prev_v = prev_d = None
-                v = grp["v"].to_numpy()
-                s = grp["s"].to_numpy()
-                cum0 = run0 + np.cumsum(s == 0)
-                cum1 = run1 + np.cumsum(s == 1)
-                run0, run1 = int(cum0[-1]), int(cum1[-1])
-                d = np.abs(cum0 / n0 - cum1 / n1)
-                if prev_v is not None and v[0] != prev_v \
-                        and prev_d is not None:
-                    best = max(best, prev_d)
-                ends = np.nonzero(v[:-1] != v[1:])[0]
-                if ends.size:
-                    best = max(best, float(d[ends].max()))
-                prev_v = float(v[-1])
-                prev_d = float(d[-1])
-        if prev_d is not None:  # partition end closes the last group
-            best = max(best, prev_d)
-        yield pd.DataFrame({"local_d": [best]})
-
-    local = (ub.repartition(p, "b")
-             .sortWithinPartitions("b", "v")
-             .mapInPandas(_part, schema="local_d double"))
-    return (local.agg(F.round(F.max("local_d"), round_to).alias("d"))
-            .select("d",
-                    F.lit(n0).cast("long").alias("n_left"),
-                    F.lit(n1).cast("long").alias("n_right")))
+def cdf_drift(left: DataFrame, left_col: str,
+              right: DataFrame, right_col: str | None = None,
+              num_partitions: int | None = None,
+              round_to: int = 6) -> DataFrame:
+    """Both exact CDF drift statistics from ONE pass: (d, w1, n_left,
+    n_right) — KS's sup |F_l - F_r| and Wasserstein-1's
+    ∫ |F_l - F_r| dx read the same after-group CDF differences, so a
+    drift monitor wanting both should call this, not each wrapper."""
+    return two_sample_stats(left, left_col, right, right_col,
+                            num_partitions, round_to, "cdf_drift")
