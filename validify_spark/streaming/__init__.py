@@ -4,6 +4,7 @@ from .profile import (stream_column_profile, stream_drift,
                       stream_length_drift)
 from .referential import stream_referential_orphans
 from .simhash import stream_simhash_pairs
+from .uniqueness import stream_uniqueness_violations
 from .validate import (stream_ordering_violations,
                        stream_partition_metrics, stream_violations)
 
@@ -11,4 +12,5 @@ __all__ = ["stream_violations", "stream_partition_metrics",
            "stream_ordering_violations", "stream_exact_dedup",
            "stream_column_profile", "stream_drift",
            "stream_length_drift", "stream_simhash_pairs",
-           "stream_referential_orphans", "stream_conversation_shape"]
+           "stream_referential_orphans", "stream_conversation_shape",
+           "stream_uniqueness_violations"]
