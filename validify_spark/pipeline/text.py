@@ -256,16 +256,15 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
 
     Output: id, content_hash, shingle_fingerprint."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    words = _words(F.col(text_col))
-    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, and
-    # slice(words, 0, n) throws — docs with < n tokens get a NULL
-    # shingle fingerprint (generate_series(1,0) = empty in the oracle)
-    shingles = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))))
-    ).otherwise(F.array().cast("array<string>"))
+    # anchored-lookahead overlapping n-grams in codegen (see
+    # decontaminate); the md5 transform's lambda reads a BOUND array
+    # element (cheap), not a re-evaluated words expression. Docs with
+    # < n tokens never match ⇒ array_min([]) = NULL fingerprint
+    # (generate_series(1,0) = empty in the oracle)
+    pat = r"(?<![^ ])(?=((?:[^ ]+ ){%d}[^ ]+))" % (n - 1)
+    shingles = F.transform(
+        F.regexp_extract_all(norm, F.lit(pat), F.lit(1)),
+        lambda x: F.md5(x))
     return df.select(
         F.col(id_col),
         F.md5(norm).alias("content_hash"),
