@@ -165,6 +165,60 @@ def test_fuzz_transcript_diff_vs_duckdb(spark, seed):
     assert got == exp, f"seed={seed} digest={use_digest}"
 
 
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_cdf_drift_vs_duckdb(spark, seed):
+    """Random two-sample shapes (mixtures, heavy ties, NULL/NaN
+    pollution, unequal sizes) — the fused KS+W1 pass must match the
+    DuckDB window-CDF oracle exactly on both statistics."""
+    import numpy as np
+    from validify_spark.checks import cdf_drift
+
+    rng = np.random.default_rng(4000 + seed)
+    def sample(n):
+        kind = rng.integers(0, 4)
+        if kind == 0:
+            v = rng.normal(rng.uniform(-2, 2), rng.uniform(0.5, 3), n)
+        elif kind == 1:
+            v = rng.exponential(rng.uniform(0.5, 5), n)
+        elif kind == 2:   # heavy ties: few distinct values
+            v = rng.choice(rng.normal(0, 10, 7), n)
+        else:             # mixture with a point mass
+            v = np.where(rng.random(n) < 0.4, 3.25,
+                         rng.uniform(-5, 5, n))
+        return np.round(v, 2)
+
+    a = sample(int(rng.integers(50, 3000)))
+    b = sample(int(rng.integers(50, 3000)))
+    # pollute with NULL/NaN — both must be excluded
+    a_l = [float(x) for x in a] + [None] * int(rng.integers(0, 5)) \
+        + [float("nan")] * int(rng.integers(0, 5))
+    la = spark.createDataFrame([(x,) for x in a_l], "v double")
+    lb = spark.createDataFrame([(float(x),) for x in b], "v double")
+    row = cdf_drift(la, "v", lb, "v",
+                    num_partitions=int(rng.integers(1, 9))).collect()[0]
+
+    con = duckdb.connect()
+    con.register("ta", pd.DataFrame({"v": a}))
+    con.register("tb", pd.DataFrame({"v": b}))
+    d_exp, w1_exp = con.execute(f"""
+      WITH u AS (SELECT v, 0 AS s FROM ta UNION ALL
+                 SELECT v, 1 FROM tb),
+      c AS (SELECT v, count(*) FILTER (s = 0) AS n0,
+                   count(*) FILTER (s = 1) AS n1 FROM u GROUP BY v),
+      cdf AS (SELECT v,
+                sum(n0) OVER (ORDER BY v) / {len(a)}.0 AS f0,
+                sum(n1) OVER (ORDER BY v) / {len(b)}.0 AS f1,
+                lead(v) OVER (ORDER BY v) AS nv
+              FROM c)
+      SELECT round(max(abs(f0 - f1)), 6),
+             round(coalesce(sum(CASE WHEN nv IS NOT NULL
+                   THEN abs(f0 - f1) * (nv - v) END), 0), 6)
+      FROM cdf""").fetchone()
+    assert row["d"] == pytest.approx(d_exp, abs=1e-9), f"seed={seed}"
+    assert row["w1"] == pytest.approx(w1_exp, abs=1e-6), f"seed={seed}"
+    assert (row["n_left"], row["n_right"]) == (len(a), len(b))
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_stream_shape_equals_batch(spark, tmpdir, seed):
     """Random transcripts split into random micro-batches: the
