@@ -870,7 +870,11 @@ def q_drift(spark, sf_dir):
         F.struct(nulld.alias("psi"), nulld.alias("kl"),
                  n_tot.alias("n_buckets"),
                  F.round(F.col("w1") * 1e-4, 6).alias("max_abs_diff"),
-                 F.lit("wasserstein").alias("family")))).alias("r"))
+                 F.lit("wasserstein").alias("family")),
+        F.struct(nulld.alias("psi"), nulld.alias("kl"),
+                 n_tot.alias("n_buckets"),
+                 F.col("cvm").alias("max_abs_diff"),
+                 F.lit("cramer_von_mises").alias("family")))).alias("r"))
         .select("r.*"))
     return cat.unionByName(ln).unionByName(cdfrows)
 
@@ -1814,6 +1818,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT v, sum(n0) OVER (ORDER BY v) AS c0,
                    sum(n1) OVER (ORDER BY v) AS c1
             FROM kc),
+          kcdf3 AS (
+            SELECT n0 + n1 AS cnt,
+                   sum(n0) OVER (ORDER BY v) AS c0,
+                   sum(n1) OVER (ORDER BY v) AS c1
+            FROM kc),
           kt AS (
             SELECT count(*) FILTER (s = 0) AS t0,
                    count(*) FILTER (s = 1) AS t1
@@ -1852,7 +1861,16 @@ def oracle_sql() -> dict[str, str]:
                          FROM (SELECT v, c0, c1,
                                       lead(v) OVER (ORDER BY v) AS nv
                                FROM kcdf2) , kt
-                         WHERE nv IS NOT NULL), 6) * 1e-4, 6)""",
+                         WHERE nv IS NOT NULL), 6) * 1e-4, 6)
+          UNION ALL
+          SELECT 'cramer_von_mises',
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            (SELECT t0 + t1 FROM kt),
+            round((SELECT sum(cnt * (c0 * 1.0 / t0 - c1 * 1.0 / t1)
+                                  * (c0 * 1.0 / t0 - c1 * 1.0 / t1))
+                          * max(t0) * max(t1)
+                          / ((max(t0) + max(t1)) * (max(t0) + max(t1)))
+                   FROM kcdf3, kt), 6)""",
 
         "ordering": """
           WITH t AS (

@@ -200,22 +200,25 @@ def test_fuzz_cdf_drift_vs_duckdb(spark, seed):
     con = duckdb.connect()
     con.register("ta", pd.DataFrame({"v": a}))
     con.register("tb", pd.DataFrame({"v": b}))
-    d_exp, w1_exp = con.execute(f"""
+    scale = len(a) * len(b) / float(len(a) + len(b)) ** 2
+    d_exp, w1_exp, cvm_exp = con.execute(f"""
       WITH u AS (SELECT v, 0 AS s FROM ta UNION ALL
                  SELECT v, 1 FROM tb),
       c AS (SELECT v, count(*) FILTER (s = 0) AS n0,
                    count(*) FILTER (s = 1) AS n1 FROM u GROUP BY v),
-      cdf AS (SELECT v,
+      cdf AS (SELECT v, n0 + n1 AS cnt,
                 sum(n0) OVER (ORDER BY v) / {len(a)}.0 AS f0,
                 sum(n1) OVER (ORDER BY v) / {len(b)}.0 AS f1,
                 lead(v) OVER (ORDER BY v) AS nv
               FROM c)
       SELECT round(max(abs(f0 - f1)), 6),
              round(coalesce(sum(CASE WHEN nv IS NOT NULL
-                   THEN abs(f0 - f1) * (nv - v) END), 0), 6)
+                   THEN abs(f0 - f1) * (nv - v) END), 0), 6),
+             round(sum(cnt * (f0 - f1) * (f0 - f1)) * {scale!r}, 6)
       FROM cdf""").fetchone()
     assert row["d"] == pytest.approx(d_exp, abs=1e-9), f"seed={seed}"
     assert row["w1"] == pytest.approx(w1_exp, abs=1e-6), f"seed={seed}"
+    assert row["cvm"] == pytest.approx(cvm_exp, abs=1e-6), f"seed={seed}"
     assert (row["n_left"], row["n_right"]) == (len(a), len(b))
 
 

@@ -268,7 +268,7 @@ def test_merged_queries_cover_both_parts(spark):
     drift = E.q_drift(spark, sf)
     fams = {r.family for r in drift.select("family").collect()}
     assert fams == {"categorical", "text_length", "ks_numeric",
-                    "wasserstein"}
+                    "wasserstein", "cramer_von_mises"}
     mm = E.q_multimodal_decode(spark, sf)
     assert {"width", "height", "checksum", "resized_checksum"} <= set(
         mm.columns)

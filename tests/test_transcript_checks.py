@@ -289,15 +289,33 @@ def test_wasserstein_chunk_seams(spark):
 
 
 def test_cdf_drift_fused_equals_wrappers(spark):
-    from validify_spark.checks import cdf_drift
+    from validify_spark.checks import cdf_drift, cvm_statistic
     a = spark.range(800).selectExpr("CAST(id % 37 AS DOUBLE) AS v")
     b = spark.range(600).selectExpr("CAST((id + 9) % 41 AS DOUBLE) AS v")
     fused = cdf_drift(a, "v", b, "v", num_partitions=6).collect()[0]
     ks = ks_statistic(a, "v", b, "v", num_partitions=6).collect()[0]
     w1 = wasserstein_distance(a, "v", b, "v",
                               num_partitions=6).collect()[0]
+    cvm = cvm_statistic(a, "v", b, "v", num_partitions=6).collect()[0]
     assert fused["d"] == ks["d"] and fused["w1"] == w1["w1"]
+    assert fused["cvm"] == cvm["cvm"] and cvm["cvm"] > 0
     assert fused["n_left"] == 800 and fused["n_right"] == 600
+
+
+def test_cvm_point_masses_and_identical(spark):
+    from validify_spark.checks import cvm_statistic
+    # 100 rows at 0 vs 50 rows at 1: group v=0 has |F diff| = 1 over
+    # 100 pooled rows, group v=1 has 0 => sum = 100;
+    # T = 100*50/150^2 * 100 = 22.222222
+    a = spark.range(100).selectExpr("CAST(0 AS DOUBLE) v")
+    b = spark.range(50).selectExpr("CAST(1 AS DOUBLE) v")
+    row = cvm_statistic(a, "v", b, "v", num_partitions=3).collect()[0]
+    assert row["cvm"] == pytest.approx(100 * 50 / 150.0**2 * 100,
+                                       abs=1e-6)
+    df = spark.range(400).selectExpr("CAST(id % 13 AS DOUBLE) v")
+    same = cvm_statistic(df, "v", df, "v",
+                         num_partitions=4).collect()[0]
+    assert same["cvm"] == 0.0
 
 
 def test_wasserstein_identical_zero_and_empty_raises(spark):

@@ -12,7 +12,7 @@ from .drift import categorical_histogram, drift_report, length_histogram
 from .ordering import ordering_violations
 from .conversation import conversation_shape_violations
 from .diffcheck import transcript_diff
-from .ks import cdf_drift, ks_statistic
+from .ks import cdf_drift, cvm_statistic, ks_statistic
 from .wasserstein import wasserstein_distance
 from .skew import (heavy_hitters, heavy_hitters_sketch,
                    salted_agg, salted_collect_list, with_salt)
@@ -24,7 +24,7 @@ __all__ = [
     "referential_orphans", "categorical_histogram", "length_histogram",
     "drift_report", "ordering_violations",
     "conversation_shape_violations", "transcript_diff", "ks_statistic",
-    "wasserstein_distance", "cdf_drift",
+    "wasserstein_distance", "cdf_drift", "cvm_statistic",
     "salted_agg", "salted_collect_list", "with_salt",
     "heavy_hitters", "heavy_hitters_sketch",
 ]

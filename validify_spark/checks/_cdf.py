@@ -66,17 +66,26 @@ def two_sample_stats(left: DataFrame, left_col: str,
                      right: DataFrame, right_col: str | None,
                      num_partitions: int | None,
                      round_to: int, caller: str) -> DataFrame:
-    """Fused exact KS + W1 over the two samples, one pass.
+    """Fused exact KS + W1 + CvM over the two samples, one pass.
 
-    Returns a 1-row DataFrame (d, w1, n_left, n_right). The streaming
-    per-partition scan carries (bucket, running counts, last value,
-    CDF-diff after it) across Arrow chunk seams; |F_l - F_r| is read
-    only after complete value groups (the KS tie convention — and
-    exactly the heights the W1 integral needs, each weighted by the
-    gap to the next distinct value). Inter-bucket W1 gap terms use
-    only per-bucket offsets/min/max, folded in driver-side; the KS
-    sup over those constant stretches is the bucket-end height,
-    already closed at each bucket change / partition end.
+    Returns a 1-row DataFrame (d, w1, cvm, n_left, n_right). The
+    streaming per-partition scan carries (bucket, running counts, last
+    value, CDF-diff after it, open tie-group size) across Arrow chunk
+    seams; |F_l - F_r| is read only after complete value groups (the
+    KS tie convention — exactly the heights the W1 integral needs,
+    each weighted by the gap to the next distinct value, and that the
+    CvM sum needs, each weighted by the tie group's pooled count).
+    Inter-bucket W1 gap terms use only per-bucket offsets/min/max,
+    folded in driver-side; the KS sup over those constant stretches is
+    the bucket-end height, already closed at each bucket change /
+    partition end; CvM integrates over the pooled SAMPLE measure, so
+    value gaps contribute nothing.
+
+    CvM convention (tie-friendly, oracle-expressible): T =
+    n0·n1/(n0+n1)² · Σ over distinct pooled values of
+    (pooled multiplicity) · (F_l − F_r)² with CDFs read after the
+    value's whole tie group — the pooled-empirical-measure integral
+    form of the two-sample Cramér–von Mises statistic.
     """
     right_col = right_col or left_col
     spark = left.sparkSession
@@ -99,15 +108,24 @@ def two_sample_stats(left: DataFrame, left_col: str,
         import numpy as np
         best = 0.0        # KS: running sup of closed-group |F diff|
         total = 0.0       # W1: running interior integral
+        sq = 0.0          # CvM: Σ pooled-count · (F diff)² per group
         cur_b = None
         run0 = run1 = 0
         prev_v = None
         prev_d = None     # |F_l - F_r| after the last-seen value group
+        open_cnt = 0      # rows of the still-open tie group
+
+        def close_group():
+            nonlocal best, sq, open_cnt
+            best = max(best, prev_d)
+            sq += prev_d * prev_d * open_cnt
+            open_cnt = 0
+
         for pdf in batches:
             for b_val, grp in pdf.groupby("b", sort=True):
                 if b_val != cur_b:
                     if prev_d is not None:  # bucket end closes group
-                        best = max(best, prev_d)
+                        close_group()
                     cur_b = b_val
                     run0, run1 = offsets[b_val]
                     prev_v = prev_d = None
@@ -119,26 +137,42 @@ def two_sample_stats(left: DataFrame, left_col: str,
                 d = np.abs(cum0 / n0 - cum1 / n1)
                 if prev_v is not None and v[0] != prev_v:
                     # chunk seam on a value change closes prev group
-                    best = max(best, prev_d)
                     total += prev_d * (float(v[0]) - prev_v)
+                    close_group()
                 ends = np.nonzero(v[:-1] != v[1:])[0]
                 if ends.size:
                     best = max(best, float(d[ends].max()))
                     total += float(
                         (d[ends] * (v[ends + 1] - v[ends])).sum())
+                    # groups fully inside this chunk: count = gap
+                    # between consecutive end indices; the FIRST one
+                    # also absorbs the carried open rows
+                    bnds = np.concatenate(([-1], ends))
+                    cnts = np.diff(bnds).astype(np.float64)
+                    cnts[0] += open_cnt
+                    open_cnt = 0
+                    sq += float((d[ends] * d[ends] * cnts).sum())
+                    open_cnt = int(len(v) - 1 - ends[-1])
+                else:
+                    open_cnt += len(v)
                 prev_v = float(v[-1])
                 prev_d = float(d[-1])
         if prev_d is not None:  # partition end closes the last group
-            best = max(best, prev_d)
-        yield pd.DataFrame({"local_d": [best], "partial": [total]})
+            close_group()
+        yield pd.DataFrame({"local_d": [best], "partial": [total],
+                            "sq": [sq]})
 
     local = (ub.repartition(p, "b")
              .sortWithinPartitions("b", "v")
-             .mapInPandas(_part, schema="local_d double, partial double"))
+             .mapInPandas(
+                 _part,
+                 schema="local_d double, partial double, sq double"))
+    scale = (n0 * n1) / float(n0 + n1) ** 2
     return (local.agg(
         F.round(F.max("local_d"), round_to).alias("d"),
         F.round(F.sum("partial") + F.lit(boundary), round_to)
-        .alias("w1"))
-        .select("d", "w1",
+        .alias("w1"),
+        F.round(F.sum("sq") * F.lit(scale), round_to).alias("cvm"))
+        .select("d", "w1", "cvm",
                 F.lit(n0).cast("long").alias("n_left"),
                 F.lit(n1).cast("long").alias("n_right")))

@@ -56,9 +56,26 @@ def cdf_drift(left: DataFrame, left_col: str,
               right: DataFrame, right_col: str | None = None,
               num_partitions: int | None = None,
               round_to: int = 6) -> DataFrame:
-    """Both exact CDF drift statistics from ONE pass: (d, w1, n_left,
-    n_right) — KS's sup |F_l - F_r| and Wasserstein-1's
-    ∫ |F_l - F_r| dx read the same after-group CDF differences, so a
-    drift monitor wanting both should call this, not each wrapper."""
+    """All three exact CDF drift statistics from ONE pass: (d, w1,
+    cvm, n_left, n_right) — KS's sup |F_l − F_r|, Wasserstein-1's
+    ∫ |F_l − F_r| dx, and Cramér–von Mises' pooled-measure
+    Σ (F_l − F_r)² all read the same after-group CDF differences, so
+    a drift monitor wanting any two should call this, not the
+    wrappers. The three disagree on purpose: KS is the sup (localized
+    gaps), W1 weights by distance (mean shifts), CvM weights by
+    pooled mass (body-of-distribution shape changes)."""
     return two_sample_stats(left, left_col, right, right_col,
                             num_partitions, round_to, "cdf_drift")
+
+
+def cvm_statistic(left: DataFrame, left_col: str,
+                  right: DataFrame, right_col: str | None = None,
+                  num_partitions: int | None = None,
+                  round_to: int = 6) -> DataFrame:
+    """Exact two-sample Cramér–von Mises statistic (pooled-empirical-
+    measure integral convention, ties read after their whole group —
+    see ``_cdf.two_sample_stats``): 1-row (cvm, n_left, n_right)."""
+    return two_sample_stats(left, left_col, right, right_col,
+                            num_partitions, round_to,
+                            "cvm_statistic").select(
+        "cvm", "n_left", "n_right")
