@@ -584,6 +584,17 @@ def test_clean_corpus_end_to_end(spark):
     assert got[1]["n_redactions"] == 1
     assert got[1]["pred_lang"] == "en"
 
+    # with a benchmark overlapping doc 1's text, decontamination drops
+    # the whole near-dup cluster's would-be representative BEFORE
+    # dedup — nothing survives from that cluster, proving stage order
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy")],
+        "doc_id int, text string")
+    out2 = clean_corpus(df, quality_min=0.3, lang_allow=["en"],
+                        jaccard_threshold=0.5, benchmark=bench,
+                        decontam_n=5)
+    assert {r["doc_id"] for r in out2.collect()} == set()
+
 
 def test_text_model_plugin_seams(spark):
     import pandas as pd

@@ -1,7 +1,8 @@
 """End-to-end corpus cleaning: the composition a pretraining-data
 pipeline actually runs, wired from the operators in this package —
-redact PII → score quality / language → filter → exact dedup → near-dup
-clustering → keep one representative per cluster.
+redact PII → score quality / language → filter → benchmark
+decontamination → exact dedup → near-dup clustering → keep one
+representative per cluster.
 
 Each stage is the already-tested operator; this module only sequences
 them and prunes losers with left-anti joins on the doc id. At corpus
@@ -18,7 +19,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import duplicate_clusters, exact_duplicates, jaccard_pairs
-from .text import lang_id, quality_score, redact_pii
+from .text import decontaminate, lang_id, quality_score, redact_pii
 
 
 def clean_corpus(df: DataFrame, id_col: str = "doc_id",
@@ -27,7 +28,10 @@ def clean_corpus(df: DataFrame, id_col: str = "doc_id",
                  lang_allow: Optional[Sequence[str]] = None,
                  jaccard_threshold: float = 0.8,
                  max_df: Optional[int] = None,
-                 redact: bool = True) -> DataFrame:
+                 redact: bool = True,
+                 benchmark: Optional[DataFrame] = None,
+                 decontam_n: int = 13,
+                 decontam_min_hits: int = 1) -> DataFrame:
     """Clean a document corpus for training use.
 
     Stages (each optional knob defaults to the pipeline-standard
@@ -36,9 +40,14 @@ def clean_corpus(df: DataFrame, id_col: str = "doc_id",
       2. quality + language scoring over the (redacted) text;
          drop docs with quality < ``quality_min`` or, when
          ``lang_allow`` is given, a predicted language outside it.
-      3. exact dedup: of each identical-text group only the min-id
+      3. ``benchmark``: when an eval-set DataFrame is given, drop
+         docs sharing ≥ ``decontam_min_hits`` word ``decontam_n``-grams
+         with it (decontaminate + left-anti) — BEFORE dedup, so
+         contaminated docs never seed a cluster whose representative
+         survives them.
+      4. exact dedup: of each identical-text group only the min-id
          canonical survives.
-      4. near-dup dedup: jaccard pairs ≥ ``jaccard_threshold`` →
+      5. near-dup dedup: jaccard pairs ≥ ``jaccard_threshold`` →
          connected components → only each cluster's min-id
          representative survives.
 
@@ -64,6 +73,12 @@ def clean_corpus(df: DataFrame, id_col: str = "doc_id",
     if lang_allow is not None:
         keep = keep & F.col("pred_lang").isin(*lang_allow)
     filtered = scored.filter(keep)
+
+    if benchmark is not None:
+        dirty = decontaminate(filtered, benchmark, id_col, text_col,
+                              n=decontam_n,
+                              min_hits=decontam_min_hits).select(id_col)
+        filtered = filtered.join(dirty, id_col, "left_anti")
 
     # exact dedup: drop every member of an identical-text group except
     # the canonical (min id)
