@@ -151,3 +151,55 @@ def test_stream_drift_flags_new_category(spark, tmpdir):
     _run(d, "newcat_stream")
     rows = spark.table("newcat_stream").collect()
     assert rows and all(r.psi > 1.0 for r in rows), rows
+
+
+def test_stream_numeric_drift_baseline_and_alarm(spark, tmpdir):
+    """Numeric drift: equal-mass quantile buckets from a batch
+    baseline; an identical stream shows ~zero PSI, a shifted stream
+    alarms; PSI matches a hand-computed value from the same buckets."""
+    import pandas as pd
+    from validify_spark.streaming import (numeric_drift_baseline,
+                                          stream_numeric_drift)
+
+    rng_vals = [float((7 * i) % 100) for i in range(2000)]
+    base_df = spark.createDataFrame(
+        pd.DataFrame({"v": rng_vals}))
+    cuts, baseline = numeric_drift_baseline(base_df, "v", n_buckets=10)
+    assert 1 <= len(cuts) <= 9
+    assert abs(sum(baseline.values()) - 1.0) < 1e-9
+
+    # stream 1: same distribution + a few NULLs; stream 2: shifted +40
+    same = [(v, "2024-01-01T00:10:00") for v in rng_vals[:1000]] + \
+           [(None, "2024-01-01T00:11:00")] * 5
+    shifted = [(v + 40.0, "2024-01-01T00:10:00")
+               for v in rng_vals[:1000]]
+    psis = {}
+    for name, rows in (("same", same), ("shift", shifted)):
+        src = f"{tmpdir}/nd_{name}"
+        (spark.createDataFrame(rows, "v double, ts_s string")
+         .select("v", F.col("ts_s").cast("timestamp").alias("ts"))
+         .coalesce(1).write.parquet(src))
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        q = stream_numeric_drift(stream, "v", cuts, baseline,
+                                 window="1 hour", watermark="2 hours")
+        _run(q, f"nd_{name}")
+        rows_out = spark.table(f"nd_{name}").collect()
+        assert len(rows_out) == 1
+        psis[name] = rows_out[0].psi
+
+        # hand-computed PSI from the identical bucketing
+        from validify_spark.streaming.profile import _numeric_bucket
+        obs = (spark.createDataFrame(rows, "v double, ts_s string")
+               .select(_numeric_bucket(F.col("v"), cuts).alias("b"))
+               .groupBy("b").count().collect())
+        n = sum(r["count"] for r in obs)
+        got = {r["b"]: r["count"] / n for r in obs}
+        exp = 0.0
+        for b in set(baseline) | set(got) | {"__null__", "__other__"}:
+            p = max(got.get(b, 0.0), EPS)
+            qq = max(baseline.get(b, 0.0), EPS)
+            exp += (p - qq) * (math.log(p) - math.log(qq))
+        assert rows_out[0].psi == round(exp, 6), name
+
+    assert psis["same"] < 0.05 < psis["shift"], psis

@@ -1,7 +1,8 @@
 from .conversation import stream_conversation_shape
 from .dedup import stream_exact_dedup
-from .profile import (stream_column_profile, stream_drift,
-                      stream_length_drift)
+from .profile import (numeric_drift_baseline, stream_column_profile,
+                      stream_drift, stream_length_drift,
+                      stream_numeric_drift)
 from .referential import stream_referential_orphans
 from .simhash import stream_simhash_pairs
 from .uniqueness import stream_uniqueness_violations
@@ -13,4 +14,5 @@ __all__ = ["stream_violations", "stream_partition_metrics",
            "stream_column_profile", "stream_drift",
            "stream_length_drift", "stream_simhash_pairs",
            "stream_referential_orphans", "stream_conversation_shape",
-           "stream_uniqueness_violations"]
+           "stream_uniqueness_violations", "stream_numeric_drift",
+           "numeric_drift_baseline"]

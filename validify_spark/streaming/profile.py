@@ -179,3 +179,65 @@ def stream_drift(df: DataFrame, column: str,
         F.round(psi, 6).alias("psi"),
         F.round(kl, 6).alias("kl"),
         F.round(mad, 6).alias("max_abs_diff"))
+
+
+def numeric_drift_baseline(batch_df: DataFrame, column: str,
+                           n_buckets: int = 20,
+                           rel_err: float = 0.001):
+    """Build the (cuts, baseline) pair for :func:`stream_numeric_drift`
+    from a batch reference corpus (yesterday's validated partition):
+    ``cuts`` = deduped GK-sketch quantile boundaries of ``column``,
+    ``baseline`` = the reference probability of each inter-cut bucket
+    (string ids '0'..'k', '__null__' for NULLs) — equal-mass buckets
+    by construction, so drift shows up as mass imbalance, the most
+    sensitive fixed-bucket layout for PSI.
+
+    Driver-side result is tiny (≤ n_buckets+1 entries); the one eager
+    pass over the reference is batch work, done once per baseline
+    refresh, never per micro-batch."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = sorted(set(batch_df.approxQuantile(column, qs, rel_err))) \
+        if n_buckets > 1 else []
+    bucket = _numeric_bucket(F.col(column), cuts)
+    rows = (batch_df
+            .select(bucket.alias("b"))
+            .groupBy("b").count().collect())
+    total = sum(r["count"] for r in rows) or 1
+    baseline = {r["b"]: r["count"] / total for r in rows}
+    return cuts, baseline
+
+
+def _numeric_bucket(col: Column, cuts: Sequence[float]) -> Column:
+    """Deterministic bucket id for a numeric value given sorted cut
+    points — same pure-function-of-the-value scheme as checks/_cdf.py
+    (never a re-sampled range partitioner). NULL/NaN → '__null__'."""
+    b = F.lit(0)
+    for c in cuts:
+        b = b + F.when(col >= F.lit(float(c)), 1).otherwise(0)
+    return F.when(col.isNull() | F.isnan(col.cast("double")),
+                  F.lit("__null__")).otherwise(b.cast("string"))
+
+
+def stream_numeric_drift(df: DataFrame, column: str,
+                         cuts: Sequence[float],
+                         baseline: Mapping[str, float],
+                         ts_col: str = "ts",
+                         window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """PSI/KL drift of a NUMERIC column per event-time window vs a
+    fixed batch baseline — the fourth streaming drift family next to
+    categorical and text-length (and the monitoring face of the batch
+    KS/W1/CvM exact statistics, which need the full sorted sample and
+    so stay batch-side).
+
+    ``cuts``/``baseline`` come from :func:`numeric_drift_baseline`.
+    The bucket id is a stateless pure function of the value, so this
+    is a thin composition over :func:`stream_drift`: one windowed
+    aggregation, watermark-bounded state, unseen-mass alarm through
+    the PSI floor. Output: window_start, window_end, n_rows, psi, kl,
+    max_abs_diff."""
+    bucketed = df.withColumn(
+        "__num_bucket", _numeric_bucket(F.col(column), list(cuts)))
+    return stream_drift(bucketed, "__num_bucket", baseline,
+                        ts_col=ts_col, window=window,
+                        watermark=watermark)
