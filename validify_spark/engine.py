@@ -442,6 +442,72 @@ class ValidationEngine:
         src = self.normalize(df)
         return src.withColumn(flag, self._pass_all(src))
 
+    # -- per-rule coverage (ruleset lint) -----------------------------------
+    def coverage_report(self, df: DataFrame,
+                        pre_normalized: bool = False) -> DataFrame:
+        """One row per rule: how often it fires on ``df`` — the
+        ruleset lint a large deployment runs before trusting a config
+        (a rule that never fires is dead weight or a bug; one that
+        fires on every row is usually a schema mismatch).
+
+        ONE scan: every rule's fail indicator folds into a single
+        aggregation (map-side combined), then the 1-row wide result
+        explodes to long form. Semantics match ``violations()``
+        exactly — variant gates honored, presence failure suppresses
+        main/schema rules, Option semantics (NULL passes everything
+        but required), missing columns count as per-row failures.
+
+        Output: rule_id, kind, location, n_rows, n_failed, fail_rate.
+        """
+        src = df if pre_normalized else self.normalize(df)
+        schema = src.schema
+
+        def arr(r):
+            miss = self._missing_inputs(r, schema)
+            if miss:
+                a = C.compile_missing_column(r, miss[0])
+                g = C._gate_expr(r)
+                if g is not None:
+                    a = F.when(g, a).otherwise(C.empty_violations())
+                return a
+            return C.compile_rule(r, schema, self.run_ts)
+
+        presence = self.ruleset.presence_rules
+        mains = [r for r in self.ruleset.main_rules
+                 if r.kind != "schema"]
+        schema_rules = [r for r in self.ruleset.main_rules
+                        if r.kind == "schema"]
+        presence_arrays = [arr(r) for r in presence]
+        presence_ok = (F.size(F.flatten(F.array(*presence_arrays))) == 0
+                       if presence_arrays else F.lit(True))
+
+        entries, aggs = [], [F.count(F.lit(1)).alias("__n")]
+        for i, r in enumerate(presence):
+            fired = F.size(presence_arrays[i]) > 0
+            aggs.append(F.sum(fired.cast("long")).alias(f"__f_{i}"))
+            entries.append((i, r))
+        off = len(presence)
+        for j, r in enumerate(mains + schema_rules):
+            a = (C.compile_schema_rule(r, src) if r.kind == "schema"
+                 else arr(r))
+            fired = presence_ok & (F.size(a) > 0)
+            aggs.append(
+                F.sum(fired.cast("long")).alias(f"__f_{off + j}"))
+            entries.append((off + j, r))
+        wide = src.agg(*aggs)
+        rows = F.array(*[
+            F.struct(F.lit(r.rule_id).alias("rule_id"),
+                     F.lit(r.kind).alias("kind"),
+                     F.lit(r.location).alias("location"),
+                     F.col("__n").alias("n_rows"),
+                     F.col(f"__f_{i}").alias("n_failed"))
+            for i, r in entries])
+        return (wide.select(F.explode(rows).alias("r")).select("r.*")
+                .withColumn("fail_rate",
+                            F.round(F.col("n_failed")
+                                    / F.greatest(F.col("n_rows"),
+                                                 F.lit(1)), 6)))
+
     # -- full run -----------------------------------------------------------
     def validate(self, df: DataFrame) -> ValidationResult:
         normalized = self.normalize(df)
