@@ -191,7 +191,9 @@ def test_stream_numeric_drift_baseline_and_alarm(spark, tmpdir):
         # hand-computed PSI from the identical bucketing
         from validify_spark.streaming.profile import _numeric_bucket
         obs = (spark.createDataFrame(rows, "v double, ts_s string")
-               .select(_numeric_bucket(F.col("v"), cuts).alias("b"))
+               .select(F.coalesce(
+                   _numeric_bucket(F.col("v"), cuts),
+                   F.lit("__null__")).alias("b"))
                .groupBy("b").count().collect())
         n = sum(r["count"] for r in obs)
         got = {r["b"]: r["count"] / n for r in obs}
@@ -203,3 +205,31 @@ def test_stream_numeric_drift_baseline_and_alarm(spark, tmpdir):
         assert rows_out[0].psi == round(exp, 6), name
 
     assert psis["same"] < 0.05 < psis["shift"], psis
+
+
+def test_stream_numeric_drift_null_bucket_parity(spark, tmpdir):
+    """Review regression: NULLs in BOTH baseline and stream must land
+    in the same '__null__' bucket — an identical distribution with 10%
+    NULLs shows ~zero PSI (the bug routed stream NULLs to '__other__',
+    alarming against any null-bearing baseline)."""
+    import pandas as pd
+    from validify_spark.streaming import (numeric_drift_baseline,
+                                          stream_numeric_drift)
+    vals = [float(i % 50) for i in range(900)] + [None] * 100
+    base_df = spark.createDataFrame(
+        pd.DataFrame({"v": pd.array(vals, dtype="Float64")}))
+    cuts, baseline = numeric_drift_baseline(base_df, "v", n_buckets=8)
+    assert abs(baseline["__null__"] - 0.1) < 1e-9
+
+    rows = [(v, "2024-01-01T00:10:00") for v in vals]
+    src = f"{tmpdir}/ndn_src"
+    (spark.createDataFrame(rows, "v double, ts_s string")
+     .select("v", F.col("ts_s").cast("timestamp").alias("ts"))
+     .coalesce(1).write.parquet(src))
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = stream_numeric_drift(stream, "v", cuts, baseline,
+                             window="1 hour", watermark="2 hours")
+    _run(q, "ndn")
+    out = spark.table("ndn").collect()
+    assert len(out) == 1 and out[0].psi < 0.01, out

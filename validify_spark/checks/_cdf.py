@@ -86,10 +86,26 @@ def two_sample_stats(left: DataFrame, left_col: str,
     (pooled multiplicity) · (F_l − F_r)² with CDFs read after the
     value's whole tie group — the pooled-empirical-measure integral
     form of the two-sample Cramér–von Mises statistic.
+
+    Cost note: the inputs are scanned three times (quantile cuts,
+    per-bucket counts, the stats pass) — each a 2-column projection,
+    so pushdown keeps the scans slim. When ``left``/``right`` sit on
+    expensive lineage (joins, UDF scoring), persist or checkpoint the
+    inputs first; the function deliberately does not persist
+    internally (it cannot know when the caller's last action runs, so
+    an internal persist would either leak or be released too early).
     """
     right_col = right_col or left_col
     spark = left.sparkSession
-    p = num_partitions or spark.sparkContext.defaultParallelism
+    # buckets are PARALLELISM units, not precision — the statistics
+    # are exact at any p. Cap at 256: beyond that the p-1 chained
+    # when() cut expressions stop buying wall-clock and start costing
+    # Catalyst tree depth / codegen size (same ballooning-expression
+    # class streaming/profile.py guards with its 512-bucket limit),
+    # and defaultParallelism on a real cluster can be in the
+    # thousands.
+    p = min(num_partitions or spark.sparkContext.defaultParallelism,
+            256)
 
     u = tagged_union(left, left_col, right, right_col)
     ub = bucketed(u, p)

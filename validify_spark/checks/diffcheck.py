@@ -41,12 +41,15 @@ def transcript_diff(left: DataFrame, right: DataFrame,
     def _side(df: DataFrame, tag: str) -> DataFrame:
         probe = (F.md5(F.col(text_col).cast("string")) if digest
                  else F.col(text_col).cast("string"))
-        # NULL text gets a sentinel so "both NULL" compares equal and
-        # "NULL vs non-NULL" is a mismatch (eqNullSafe via coalesce)
+        # NULL text probes stay NULL; the comparison below is
+        # eqNullSafe, so "both NULL" is equal and "NULL vs non-NULL"
+        # mismatches. (A coalesce-to-sentinel would make a literal
+        # text equal to the sentinel string compare equal to NULL in
+        # digest=False mode — review finding.)
         return df.select(
             F.col(conv_col).alias(conv_col),
             F.col(idx_col).alias(idx_col),
-            F.coalesce(probe, F.lit("__null__")).alias(f"_h_{tag}"),
+            probe.alias(f"_h_{tag}"),
             F.lit(True).alias(f"_in_{tag}"))
 
     j = (_side(left, "l")
@@ -54,7 +57,7 @@ def transcript_diff(left: DataFrame, right: DataFrame,
                how="full_outer"))
     code = (F.when(F.col("_in_r").isNull(), F.lit("missing_in_right"))
              .when(F.col("_in_l").isNull(), F.lit("missing_in_left"))
-             .when(F.col("_h_l") != F.col("_h_r"),
+             .when(~F.col("_h_l").eqNullSafe(F.col("_h_r")),
                    F.lit("text_mismatch")))
     return (j.select(conv_col, idx_col, code.alias("code"))
              .filter(F.col("code").isNotNull()))

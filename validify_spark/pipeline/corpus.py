@@ -31,7 +31,8 @@ def clean_corpus(df: DataFrame, id_col: str = "doc_id",
                  redact: bool = True,
                  benchmark: Optional[DataFrame] = None,
                  decontam_n: int = 13,
-                 decontam_min_hits: int = 1) -> DataFrame:
+                 decontam_min_hits: int = 1,
+                 bench_text_col: Optional[str] = None) -> DataFrame:
     """Clean a document corpus for training use.
 
     Stages (each optional knob defaults to the pipeline-standard
@@ -75,7 +76,11 @@ def clean_corpus(df: DataFrame, id_col: str = "doc_id",
     filtered = scored.filter(keep)
 
     if benchmark is not None:
+        # benchmark text column defaults to the corpus's text_col
+        # (eval sets usually share the schema); bench_text_col
+        # overrides when they differ
         dirty = decontaminate(filtered, benchmark, id_col, text_col,
+                              bench_text_col=bench_text_col or text_col,
                               n=decontam_n,
                               min_hits=decontam_min_hits).select(id_col)
         filtered = filtered.join(dirty, id_col, "left_anti")

@@ -66,10 +66,8 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id",
     ~14x slower: higher-order-function lambdas are interpreted per
     element — see text.py decontaminate.) Docs with < n tokens never
     match (= generate_series(1,0) = empty in the SQL oracle)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
-                            r"\s+", " ")
-    pat = r"(?<![^ ])(?=((?:[^ ]+ ){%d}[^ ]+))" % (n - 1)
-    shingles = F.regexp_extract_all(norm, F.lit(pat), F.lit(1))
+    from .text import word_shingles_expr
+    shingles = word_shingles_expr(F.col(text_col), n)
     return (df
             .select(F.col(id_col), F.explode(
                 F.array_distinct(shingles)).alias("shingle")))

@@ -32,6 +32,30 @@ def _words(text_col: Column) -> Column:
     return F.filter(w, lambda x: x != "")
 
 
+def word_shingles_expr(text_col: Column, n: int) -> Column:
+    """Overlapping word ``n``-gram shingles of whitespace-normalized,
+    lowercased text, as ``array<string>`` (with duplicates — callers
+    apply ``array_distinct`` / per-shingle hashing as needed).
+
+    THE shared shingle tokenization: decontaminate, word_shingles
+    (jaccard/MinHash), and fingerprint all call this one expression,
+    so their shingle universes stay byte-identical — a tokenization
+    change here moves every consumer together, never desynchronizing
+    dedup fingerprints from decontamination shingles.
+
+    Implementation: ONE anchored-lookahead ``regexp_extract_all`` —
+    ``(?<![^ ])`` anchors each overlapping match at a word start, the
+    zero-width lookahead captures without consuming. Stays inside
+    whole-stage codegen; the obvious
+    ``transform(sequence, i -> concat_ws(slice(words, i, n)))``
+    builds the identical set ~14x slower (higher-order-function
+    lambdas are interpreted per element). Texts with < n words never
+    match ⇒ empty array."""
+    norm = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+    pat = r"(?<![^ ])(?=((?:[^ ]+ ){%d}[^ ]+))" % (n - 1)
+    return F.regexp_extract_all(norm, F.lit(pat), F.lit(1))
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword proxy count (runs of
@@ -256,15 +280,12 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
 
     Output: id, content_hash, shingle_fingerprint."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    # anchored-lookahead overlapping n-grams in codegen (see
-    # decontaminate); the md5 transform's lambda reads a BOUND array
-    # element (cheap), not a re-evaluated words expression. Docs with
-    # < n tokens never match ⇒ array_min([]) = NULL fingerprint
-    # (generate_series(1,0) = empty in the oracle)
-    pat = r"(?<![^ ])(?=((?:[^ ]+ ){%d}[^ ]+))" % (n - 1)
-    shingles = F.transform(
-        F.regexp_extract_all(norm, F.lit(pat), F.lit(1)),
-        lambda x: F.md5(x))
+    # shared shingle tokenization (word_shingles_expr); the md5
+    # transform's lambda reads a BOUND array element (cheap). Docs
+    # with < n tokens get no shingles ⇒ array_min([]) = NULL
+    # fingerprint (generate_series(1,0) = empty in the oracle)
+    shingles = F.transform(word_shingles_expr(F.col(text_col), n),
+                           lambda x: F.md5(x))
     return df.select(
         F.col(id_col),
         F.md5(norm).alias("content_hash"),
@@ -304,14 +325,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     element (~30 us/shingle measured), which at 10^12-shingle corpus
     scale is the difference between hours and days."""
     def _shingle_arr(text: Column) -> Column:
-        norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
-        # (?<![^ ]) anchors each overlapping match at a word start;
-        # the zero-width lookahead captures without consuming, so the
-        # scan advances one word per match — short docs (< n words)
-        # simply never match
-        pat = r"(?<![^ ])(?=((?:[^ ]+ ){%d}[^ ]+))" % (n - 1)
-        return F.array_distinct(
-            F.regexp_extract_all(norm, F.lit(pat), F.lit(1)))
+        return F.array_distinct(word_shingles_expr(text, n))
 
     doc_sh = (docs
               .select(F.col(id_col), _shingle_arr(F.col(text_col)).alias("_sh"))

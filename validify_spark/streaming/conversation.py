@@ -31,13 +31,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
-
-def _dur_ms(spec: str) -> int:
-    """'10 minutes' / '1 hour' / '30 seconds' → milliseconds."""
-    n, unit = spec.split()
-    mult = {"millisecond": 1, "second": 1000, "minute": 60_000,
-            "hour": 3_600_000, "day": 86_400_000}[unit.rstrip("s")]
-    return int(n) * mult
+from ._util import dur_ms as _dur_ms
 
 
 def _shape_codes(turns: list, zero_based: bool,
@@ -52,7 +46,9 @@ def _shape_codes(turns: list, zero_based: bool,
     out = []
     first_i, first_r = turns[0]
     last_i, last_r = turns[-1]
-    if zero_based and first_i != 0:
+    # NULL idx: the batch check's SQL `first.i != 0` is NULL ⇒ no
+    # violation — mirror that (None != 0 is True in Python)
+    if zero_based and first_i is not None and first_i != 0:
         out.append((first_i, "first_idx_not_zero"))
     if first_role is not None and first_r != first_role:
         out.append((first_i, "first_role"))
@@ -96,8 +92,10 @@ def stream_conversation_shape(stream_df: DataFrame,
     late fragment then shows exactly the "lost head" shape the
     ``first_idx_not_zero``/``first_role`` codes exist to flag.
     """
-    if not any(f for f in (zero_based, first_role, last_role,
-                           alternate, max_turns)):
+    if not (zero_based or alternate or first_role is not None
+            or last_role is not None or max_turns is not None):
+        # `is not None`, not truthiness: max_turns=0 is a valid (if
+        # harsh) cap and must behave like the batch check
         raise ValueError("no shape checks requested")
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout

@@ -39,9 +39,12 @@ def stream_transcript_diff(stream_df: DataFrame,
     def _probe(df: DataFrame, tag: str) -> DataFrame:
         h = (F.md5(F.col(text_col).cast("string")) if digest
              else F.col(text_col).cast("string"))
+        # NULL probes stay NULL — eqNullSafe below, same rationale as
+        # the batch diff (a coalesce sentinel collides with literal
+        # sentinel-valued text in digest=False mode)
         return df.select(
             F.col(conv_col), F.col(idx_col),
-            F.coalesce(h, F.lit("__null__")).alias(f"_h_{tag}"),
+            h.alias(f"_h_{tag}"),
             F.lit(True).alias(f"_in_{tag}"))
 
     j = (_probe(stream_df, "s")
@@ -49,7 +52,7 @@ def stream_transcript_diff(stream_df: DataFrame,
                how="left"))
     code = (F.when(F.col("_in_r").isNull(),
                    F.lit("not_in_reference"))
-             .when(F.col("_h_s") != F.col("_h_r"),
+             .when(~F.col("_h_s").eqNullSafe(F.col("_h_r")),
                    F.lit("text_mismatch")))
     return (j.select(conv_col, idx_col, code.alias("code"))
              .filter(F.col("code").isNotNull()))

@@ -198,7 +198,8 @@ def numeric_drift_baseline(batch_df: DataFrame, column: str,
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = sorted(set(batch_df.approxQuantile(column, qs, rel_err))) \
         if n_buckets > 1 else []
-    bucket = _numeric_bucket(F.col(column), cuts)
+    bucket = F.coalesce(_numeric_bucket(F.col(column), cuts),
+                        F.lit("__null__"))
     rows = (batch_df
             .select(bucket.alias("b"))
             .groupBy("b").count().collect())
@@ -210,12 +211,16 @@ def numeric_drift_baseline(batch_df: DataFrame, column: str,
 def _numeric_bucket(col: Column, cuts: Sequence[float]) -> Column:
     """Deterministic bucket id for a numeric value given sorted cut
     points — same pure-function-of-the-value scheme as checks/_cdf.py
-    (never a re-sampled range partitioner). NULL/NaN → '__null__'."""
+    (never a re-sampled range partitioner). NULL/NaN stay NULL so the
+    downstream consumer's own null handling applies: stream_drift's
+    isNull() branch routes them to its null_bucket (pre-mapping to a
+    '__null__' STRING here would fall through stream_drift's isin()
+    into '__other__' — a spurious-drift bug caught in review)."""
     b = F.lit(0)
     for c in cuts:
         b = b + F.when(col >= F.lit(float(c)), 1).otherwise(0)
     return F.when(col.isNull() | F.isnan(col.cast("double")),
-                  F.lit("__null__")).otherwise(b.cast("string"))
+                  F.lit(None).cast("string")).otherwise(b.cast("string"))
 
 
 def stream_numeric_drift(df: DataFrame, column: str,

@@ -91,12 +91,7 @@ def stream_simhash_pairs(stream_df: DataFrame,
             f"fingerprint state (got {id_type}); hash or dictionary-"
             "encode string ids upstream")
 
-    def _dur_us(spec: str) -> int:
-        qty, unit = spec.split()
-        return int(qty) * {
-            "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
-        }[unit] * 1_000_000
+    from ._util import dur_us as _dur_us
 
     ttl_us = None
     retain_us = None

@@ -28,12 +28,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 
-
-def _dur_ms(spec: str) -> int:
-    n, unit = spec.split()
-    mult = {"millisecond": 1, "second": 1000, "minute": 60_000,
-            "hour": 3_600_000, "day": 86_400_000}[unit.rstrip("s")]
-    return int(n) * mult
+from ._util import dur_ms as _dur_ms
 
 
 def stream_uniqueness_violations(stream_df: DataFrame,
