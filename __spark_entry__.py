@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 import validify_spark as vs
 from validify_spark.checks import (
     drift_report, categorical_histogram, ordering_violations,
-    cdf_drift, conversation_shape_violations, transcript_diff,
+    cdf_drift, conversation_rules, conversation_shape_violations,
+    transcript_diff,
     referential_orphans, stats_profile_exact, uniqueness_violations,
 )
 from validify_spark.pipeline import (
@@ -948,7 +949,38 @@ def q_ordering(spark, sf_dir):
       FROM lineitem WHERE l_orderkey % 23 = 0 AND l_linenumber = 1""")
     diff = (transcript_diff(d_left, d_right)
             .withColumn("family", F.lit("diff")))
-    return ordering.unionByName(shape).unionByName(diff)
+
+    # user-defined whole-conversation rules (checks/convrules.py — the
+    # schema_validation analog at conversation granularity,
+    # derive_tests/tests/schema.rs:183-212): conv%7 opens with a tool
+    # turn (bad agent trace), 1-turn convs have no assistant, odd-length
+    # convs end on 'user', >=5-turn convs bust the 9-char text budget
+    cr_t = spark.sql("""
+      SELECT CAST(l_orderkey AS STRING) AS conv_id,
+             l_linenumber AS turn_idx,
+             CASE WHEN l_orderkey % 7 = 0 AND l_linenumber = 1
+                  THEN 'tool'
+                  WHEN l_linenumber % 2 = 1 THEN 'user'
+                  ELSE 'assistant' END AS role,
+             l_returnflag || l_linestatus AS text
+      FROM lineitem""")
+    min_tool = F.min(F.when(F.col("role") == "tool", F.col("turn_idx")))
+    min_asst = F.min(F.when(F.col("role") == "assistant",
+                            F.col("turn_idx")))
+    convrule = (conversation_rules(cr_t, agg_rules=[
+        # aggregate tier: codegen + map-side partial agg — only partial
+        # states shuffle, the turns themselves never do
+        ("has_assistant", F.max(F.col("role") == "assistant")),
+        ("text_budget_9", F.sum(F.length("text")) <= 9),
+        ("ends_assistant", F.max_by("role", "turn_idx") == "assistant"),
+        # first tool turn must come after the first assistant turn
+        ("tool_after_assistant",
+         min_tool.isNull() | (min_asst.isNotNull() & (min_asst < min_tool))),
+    ], ts_col=None)
+        .select(F.lit("convrule").alias("family"), "conv_id",
+                F.lit(None).cast("long").alias("turn_idx"), "code"))
+    return (ordering.unionByName(shape).unionByName(diff)
+            .unionByName(convrule))
 
 
 # ---------------------------------------------------------------------------
@@ -1938,7 +1970,16 @@ def oracle_sql() -> dict[str, str]:
                    dr.conv_id IS NOT NULL AS inr
             FROM dl FULL OUTER JOIN dr
               ON dl.conv_id = dr.conv_id
-             AND dl.turn_idx = dr.turn_idx)
+             AND dl.turn_idx = dr.turn_idx),
+          cr AS (
+            SELECT CAST(l_orderkey AS STRING) AS conv_id,
+                   l_linenumber AS turn_idx,
+                   CASE WHEN l_orderkey % 7 = 0 AND l_linenumber = 1
+                        THEN 'tool'
+                        WHEN l_linenumber % 2 = 1 THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   l_returnflag || l_linestatus AS text
+            FROM lineitem)
           SELECT 'ordering' AS family, conv_id, turn_idx,
                  'dup_turn_idx' AS code FROM w
           WHERE prev_idx IS NOT NULL AND turn_idx = prev_idx
@@ -1970,7 +2011,29 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN NOT inr THEN 'missing_in_right'
                       WHEN NOT inl THEN 'missing_in_left'
                       ELSE 'text_mismatch' END
-          FROM dj WHERE NOT inr OR NOT inl OR lt <> rt""",
+          FROM dj WHERE NOT inr OR NOT inl OR lt <> rt
+          UNION ALL
+          SELECT 'convrule', conv_id, CAST(NULL AS BIGINT),
+                 'has_assistant'
+          FROM cr GROUP BY conv_id
+          HAVING count(*) FILTER (WHERE role = 'assistant') = 0
+          UNION ALL
+          SELECT 'convrule', conv_id, CAST(NULL AS BIGINT),
+                 'text_budget_9'
+          FROM cr GROUP BY conv_id HAVING sum(length(text)) > 9
+          UNION ALL
+          SELECT 'convrule', conv_id, CAST(NULL AS BIGINT),
+                 'ends_assistant'
+          FROM (SELECT conv_id, arg_max(role, turn_idx) AS last_role
+                FROM cr GROUP BY conv_id)
+          WHERE last_role != 'assistant'
+          UNION ALL
+          SELECT DISTINCT 'convrule', a.conv_id, CAST(NULL AS BIGINT),
+                 'tool_after_assistant'
+          FROM cr a
+          WHERE a.role = 'tool' AND NOT EXISTS (
+            SELECT 1 FROM cr b WHERE b.conv_id = a.conv_id
+              AND b.role = 'assistant' AND b.turn_idx < a.turn_idx)""",
 
         "dedup_exact": f"""
           WITH docs2 AS ({_DOCS2_SQL}),

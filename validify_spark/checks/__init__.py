@@ -11,6 +11,7 @@ from .referential import referential_orphans
 from .drift import categorical_histogram, drift_report, length_histogram
 from .ordering import ordering_violations
 from .conversation import conversation_shape_violations
+from .convrules import conversation_rules
 from .diffcheck import transcript_diff
 from .ks import cdf_drift, cvm_statistic, ks_statistic
 from .wasserstein import wasserstein_distance
@@ -23,7 +24,8 @@ __all__ = [
     "uniqueness_violations",
     "referential_orphans", "categorical_histogram", "length_histogram",
     "drift_report", "ordering_violations",
-    "conversation_shape_violations", "transcript_diff", "ks_statistic",
+    "conversation_shape_violations", "conversation_rules",
+    "transcript_diff", "ks_statistic",
     "wasserstein_distance", "cdf_drift", "cvm_statistic",
     "salted_agg", "salted_collect_list", "with_salt",
     "heavy_hitters", "heavy_hitters_sketch",
