@@ -1,4 +1,5 @@
 from .conversation import stream_conversation_shape
+from .convrules import stream_conversation_rules
 from .dedup import stream_exact_dedup
 from .diffcheck import stream_transcript_diff
 from .profile import (numeric_drift_baseline, stream_column_profile,
@@ -15,5 +16,6 @@ __all__ = ["stream_violations", "stream_partition_metrics",
            "stream_column_profile", "stream_drift",
            "stream_length_drift", "stream_simhash_pairs",
            "stream_referential_orphans", "stream_conversation_shape",
+           "stream_conversation_rules",
            "stream_uniqueness_violations", "stream_numeric_drift",
            "numeric_drift_baseline", "stream_transcript_diff"]

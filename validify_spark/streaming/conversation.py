@@ -32,6 +32,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, functions as F
 
 from ._util import dur_ms as _dur_ms
+from ._util import order_turns as _order_turns
+from ._util import split_fragments as _split_fragments
 
 
 def _shape_codes(turns: list, zero_based: bool,
@@ -110,39 +112,12 @@ def stream_conversation_shape(stream_df: DataFrame,
     gap_ms = _dur_ms(session_gap)
 
     def _finalize(idxs, ts_us, roles):
-        # The session-gap SPLIT happens here, not only via the state
-        # timeout: during a bulk replay the watermark lags arrivals, so
-        # turns separated by hours of event time can land in state
-        # before the first fragment's timeout fires. Splitting the
-        # accumulated turns wherever consecutive event times differ by
-        # more than the gap makes fragment semantics independent of
-        # arrival batching; the timeout's only job is bounding state
-        # lifetime. Rows with NULL ts sort first and never force a
-        # split (no temporal position).
-        t_order = sorted(
-            range(len(idxs)),
-            key=lambda k: (ts_us[k] is not None, ts_us[k] or 0))
-        gap_us = gap_ms * 1000
-        frags, cur, prev_ts = [], [], None
-        for k in t_order:
-            t = ts_us[k]
-            if (cur and t is not None and prev_ts is not None
-                    and t - prev_ts > gap_us):
-                frags.append(cur)
-                cur = []
-            cur.append(k)
-            if t is not None:
-                prev_ts = t
-        if cur:
-            frags.append(cur)
+        # session-gap split + within-fragment (idx, ts) order are the
+        # shared helpers (_util.split_fragments / order_turns) — same
+        # semantics for every conversation-finalizing operator
         rows = []
-        for frag in frags:
-            # within a fragment: None-first (idx, ts) sort — the batch
-            # check's deterministic struct array_sort tie-break
-            order = sorted(
-                frag,
-                key=lambda k: (idxs[k] is not None, idxs[k] or 0,
-                               ts_us[k] is not None, ts_us[k] or 0))
+        for frag in _split_fragments(idxs, ts_us, gap_ms * 1000):
+            order = _order_turns(frag, idxs, ts_us)
             turns = [(idxs[k], roles[k]) for k in order]
             rows.extend(_shape_codes(turns, zero_based, first_role,
                                      last_role, alternate, max_turns))

@@ -1,0 +1,175 @@
+"""Streaming user-defined whole-conversation rules — the ingest-side
+twin of checks/convrules.conversation_rules (itself the reference's
+struct-level ``schema_validation``, ``derive_tests/tests/schema.rs:
+183-212``, lifted to the transcript hierarchy).
+
+Whole-conversation rules can only be judged once the conversation is
+complete; on a stream "complete" is an event-time session gap — the
+same finalize semantics as stream_conversation_shape, via the shared
+``_util.split_fragments``: once the watermark passes ``last turn's ts
++ gap`` with no new turn, the accumulated turns are fragmented on
+event-time gaps, each fragment is handed to every rule as a sorted
+pandas DataFrame, and the failing rule codes are emitted (append
+mode); then the group's state is dropped.
+
+Only the pandas tier exists here, by construction: at finalize the
+turns are already per-group Python data inside a stateful Arrow
+operator, so a pandas rule fn is the natural (and zero-copy-ish)
+evaluation form — there is no DataFrame to hang an aggregate
+expression on. The SAME (code, fn) pairs work unchanged as
+``conversation_rules(pandas_rules=...)`` in batch, which is the parity
+contract tests/test_stream_convrules.py asserts.
+
+Scale shape: one shuffle (the groupBy(conv_id) every stateful operator
+needs); state per live conversation is its turn tuples — bounded by
+conversation length and freed at finalize, so total state is
+proportional to conversations OPEN within one gap+watermark horizon,
+not corpus history. Rule evaluation is amortized once per
+conversation, not per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+from ._util import dur_ms as _dur_ms
+from ._util import order_turns as _order_turns
+from ._util import split_fragments as _split_fragments
+
+# state-array element type + python coercion per Spark simpleString
+# (primitive turn columns only — binary/array/struct payloads belong
+# in batch rules, not in per-conversation streaming state)
+_FIELD_TYPES = {
+    "string": ("string", str),
+    "boolean": ("boolean", bool),
+    "tinyint": ("long", int), "smallint": ("long", int),
+    "int": ("long", int), "bigint": ("long", int),
+    "float": ("double", float), "double": ("double", float),
+}
+
+
+def stream_conversation_rules(stream_df: DataFrame,
+                              pandas_rules: Sequence,
+                              *,
+                              conv_col: str = "conv_id",
+                              idx_col: str = "turn_idx",
+                              ts_col: str = "ts",
+                              fields: Optional[Sequence[str]] = None,
+                              watermark: str = "10 minutes",
+                              session_gap: str = "30 minutes"
+                              ) -> DataFrame:
+    """One append row per (finalized conversation fragment, failed
+    rule): ``<conv_col>, code``.
+
+    ``pandas_rules``: sequence of ``(code, fn)`` — the same contract
+    as the batch operator's pandas tier: ``fn(pdf)`` gets the
+    fragment's turns as a pandas DataFrame (columns ``idx_col``,
+    ``ts_col`` and ``fields``, rows in None-first (idx, ts) order) and
+    returns truthy ok; falsy/None ⇒ violation, an exception fails the
+    query. NOTE: nullable-int dtypes may differ from batch Arrow
+    conversion (state round-trips through Python lists) — compare
+    values, not dtypes, in rules shared across both.
+
+    ``fields``: extra turn columns carried in state (primitive types
+    only); default = every column except conv/idx/ts.
+    """
+    pandas_rules = list(pandas_rules or [])
+    if not pandas_rules:
+        raise ValueError("no conversation rules given")
+    for code, fn in pandas_rules:
+        if not isinstance(code, str) or not code:
+            raise ValueError(f"rule code must be a non-empty str: {code!r}")
+        if not callable(fn):
+            raise ValueError(f"rule {code}: fn must be callable")
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ftypes = {f.name: f.dataType.simpleString()
+              for f in stream_df.schema.fields}
+    if fields is None:
+        fields = [c for c in stream_df.columns
+                  if c not in (conv_col, idx_col, ts_col)]
+    fields = list(fields)
+    coerce = {}
+    state_cols = ["idxs array<long>", "ts_us array<long>"]
+    for i, c in enumerate(fields):
+        t = ftypes[c]
+        if t not in _FIELD_TYPES:
+            raise ValueError(
+                f"field {c}: unsupported state type {t} (primitives "
+                f"only; pre-extract what the rule needs)")
+        arr_t, py = _FIELD_TYPES[t]
+        state_cols.append(f"f{i} array<{arr_t}>")
+        coerce[c] = py
+    state_schema = ", ".join(state_cols + ["max_ts_ms long"])
+    out_schema = f"{conv_col} {ftypes[conv_col]}, code string"
+    gap_ms = _dur_ms(session_gap)
+    rules = pandas_rules
+
+    def _finalize(conv, idxs, ts_us, fvals):
+        convs, codes = [], []
+        for frag in _split_fragments(idxs, ts_us, gap_ms * 1000):
+            order = _order_turns(frag, idxs, ts_us)
+            data = {idx_col: pd.array([idxs[k] for k in order],
+                                      dtype="Int64"),
+                    ts_col: pd.to_datetime(
+                        pd.array([ts_us[k] for k in order],
+                                 dtype="Int64"), unit="us")}
+            for c, vals in zip(fields, fvals):
+                data[c] = pd.Series([vals[k] for k in order],
+                                    dtype="object")
+            pdf = pd.DataFrame(data)
+            for code, fn in rules:
+                if not fn(pdf):
+                    convs.append(conv)
+                    codes.append(code)
+        return pd.DataFrame({conv_col: convs, "code": codes})
+
+    def fn(key, pdfs, state):
+        conv = key[0]
+        if state.hasTimedOut:
+            vals = state.get
+            state.remove()
+            idxs, ts_us = list(vals[0]), list(vals[1])
+            fvals = [list(v) for v in vals[2:-1]]
+            yield _finalize(conv, idxs, ts_us, fvals)
+            return
+        if state.exists:
+            vals = state.get
+            idxs, ts_us = list(vals[0]), list(vals[1])
+            fvals = [list(v) for v in vals[2:-1]]
+            max_ts_ms = vals[-1]
+        else:
+            idxs, ts_us = [], []
+            fvals = [[] for _ in fields]
+            max_ts_ms = 0
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = (pd.concat(frames, ignore_index=True)
+                   if len(frames) > 1 else frames[0])
+            for row in pdf.itertuples(index=False):
+                r = row._asdict()
+                idx, ts = r[idx_col], r[ts_col]
+                has_ts = not pd.isna(ts)
+                idxs.append(None if pd.isna(idx) else int(idx))
+                ts_us.append(int(ts.value // 1000) if has_ts else None)
+                for c, acc in zip(fields, fvals):
+                    v = r[c]
+                    acc.append(None if pd.isna(v) else coerce[c](v))
+                if has_ts:
+                    max_ts_ms = max(max_ts_ms, int(ts.value // 10**6))
+        state.update(tuple([idxs, ts_us] + fvals + [max_ts_ms]))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(max_ts_ms + gap_ms, wm + 1))
+        yield pd.DataFrame({conv_col: [], "code": []})
+
+    return (stream_df
+            .select(conv_col, idx_col, ts_col, *fields)
+            .withWatermark(ts_col, watermark)
+            .groupBy(conv_col)
+            .applyInPandasWithState(
+                fn, out_schema, state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout))
