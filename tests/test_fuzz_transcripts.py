@@ -222,6 +222,103 @@ def test_fuzz_cdf_drift_vs_duckdb(spark, seed):
     assert (row["n_left"], row["n_right"]) == (len(a), len(b))
 
 
+def _convrule_specs(rng: random.Random):
+    """Random whole-conversation rule parameters. Each spec compiles
+    to all three tiers (agg Column, seq builder, pandas fn) AND a
+    DuckDB HAVING arm written as NOT coalesce(<ok>, FALSE) — the
+    mechanical encoding of the NULL-verdict-is-failure convention.
+    Roles are coalesced to '0' wherever a NULL role could otherwise
+    make tier semantics diverge (text is never NULL in _gen_turns)."""
+    budget = rng.randint(10, 60)
+    req = rng.choice(ROLES)
+    closer = rng.choice(ROLES[:2])
+    r1, r2 = rng.sample(ROLES, 2)
+    specs = {
+        "has_req": (
+            F.max(F.col("role") == req),
+            lambda t: F.exists(t, lambda x: x["role"] == F.lit(req)),
+            lambda p: (p["role"] == req).any(),
+            f"bool_or(role = '{req}')"),
+        "budget": (
+            F.sum(F.length("text")) <= budget,
+            lambda t: F.aggregate(
+                t, F.lit(0), lambda a, x: a + F.length(x["text"]))
+            <= budget,
+            lambda p: p["text"].str.len().sum() <= budget,
+            f"sum(length(text)) <= {budget}"),
+        # coalesce INSIDE the arg-max on both engines: DuckDB's arg_max
+        # skips NULL args while Spark's max_by returns them — feeding
+        # both a non-NULL sentinel makes the semantics identical
+        "closer": (
+            F.max_by(F.coalesce(F.col("role"), F.lit("0")),
+                     F.col("turn_idx")) == closer,
+            lambda t: F.coalesce(F.element_at(t, -1)["role"],
+                                 F.lit("0")) == closer,
+            lambda p: p["role"].fillna("0").iloc[-1] == closer,
+            f"arg_max(coalesce(role, '0'), turn_idx) = '{closer}'"),
+        "r1_after_r2": (
+            F.min(F.when(F.col("role") == r1, F.col("turn_idx"))).isNull()
+            | (F.min(F.when(F.col("role") == r2,
+                            F.col("turn_idx"))).isNotNull()
+               & (F.min(F.when(F.col("role") == r2, F.col("turn_idx")))
+                  < F.min(F.when(F.col("role") == r1,
+                                 F.col("turn_idx"))))),
+            lambda t: F.aggregate(
+                t, F.struct(F.lit(True).alias("ok"),
+                            F.lit(False).alias("seen")),
+                lambda acc, x: F.struct(
+                    (acc["ok"] & ~((F.coalesce(x["role"], F.lit("0"))
+                                    == r1) & ~acc["seen"])).alias("ok"),
+                    (acc["seen"] | (F.coalesce(x["role"], F.lit("0"))
+                                    == r2)).alias("seen")),
+                lambda acc: acc["ok"]),
+            lambda p: all(
+                (p["role"][:i] == r2).any()
+                for i in p.index[p["role"] == r1]),
+            f"(min(CASE WHEN role = '{r1}' THEN turn_idx END) IS NULL)"
+            f" OR (min(CASE WHEN role = '{r2}' THEN turn_idx END)"
+            f" IS NOT NULL AND"
+            f" min(CASE WHEN role = '{r2}' THEN turn_idx END) <"
+            f" min(CASE WHEN role = '{r1}' THEN turn_idx END))"),
+    }
+    picked = rng.sample(sorted(specs), rng.randint(2, 4))
+    return {k: specs[k] for k in picked}
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_conversation_rules_three_tiers_vs_duckdb(spark, seed):
+    """Random transcripts x random rule subsets: agg tier, seq tier and
+    pandas tier must produce identical violation sets, and all three
+    must match a DuckDB GROUP BY oracle with the NULL-verdict
+    convention encoded as NOT coalesce(ok, FALSE)."""
+    from validify_spark.checks import conversation_rules
+
+    rng = random.Random(5000 + seed)
+    rows = _gen_turns(rng)
+    specs = _convrule_specs(rng)
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    agg = {(r["conv_id"], r["code"]) for r in conversation_rules(
+        df, agg_rules=[(k, v[0]) for k, v in specs.items()]).collect()}
+    seq = {(r["conv_id"], r["code"]) for r in conversation_rules(
+        df, rules=[(k, v[1]) for k, v in specs.items()]).collect()}
+    pan = {(r["conv_id"], r["code"]) for r in conversation_rules(
+        df, pandas_rules=[(k, v[2]) for k, v in specs.items()]
+        ).collect()}
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "ts"]))
+    arms = [f"""SELECT conv_id, '{k}' AS code FROM t GROUP BY conv_id
+                HAVING NOT coalesce({ok_sql}, FALSE)"""
+            for k, (_, _, _, ok_sql) in specs.items()]
+    exp = set(map(tuple,
+                  con.execute(" UNION ALL ".join(arms)).fetchall()))
+    assert agg == seq == pan == exp, (
+        f"seed={seed} rules={sorted(specs)}\n agg={sorted(agg)}\n "
+        f"seq={sorted(seq)}\n pan={sorted(pan)}\n exp={sorted(exp)}")
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_stream_shape_equals_batch(spark, tmpdir, seed):
     """Random transcripts split into random micro-batches: the
