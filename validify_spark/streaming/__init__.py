@@ -1,5 +1,6 @@
 from .conversation import stream_conversation_shape
-from .convrules import stream_conversation_rules
+from .convrules import (stream_conversation_rules,
+                        stream_conversation_rules_agg)
 from .dedup import stream_exact_dedup
 from .diffcheck import stream_transcript_diff
 from .profile import (numeric_drift_baseline, stream_column_profile,
@@ -16,6 +17,6 @@ __all__ = ["stream_violations", "stream_partition_metrics",
            "stream_column_profile", "stream_drift",
            "stream_length_drift", "stream_simhash_pairs",
            "stream_referential_orphans", "stream_conversation_shape",
-           "stream_conversation_rules",
+           "stream_conversation_rules", "stream_conversation_rules_agg",
            "stream_uniqueness_violations", "stream_numeric_drift",
            "numeric_drift_baseline", "stream_transcript_diff"]

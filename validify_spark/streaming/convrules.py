@@ -12,13 +12,18 @@ event-time gaps, each fragment is handed to every rule as a sorted
 pandas DataFrame, and the failing rule codes are emitted (append
 mode); then the group's state is dropped.
 
-Only the pandas tier exists here, by construction: at finalize the
-turns are already per-group Python data inside a stateful Arrow
-operator, so a pandas rule fn is the natural (and zero-copy-ish)
-evaluation form — there is no DataFrame to hang an aggregate
-expression on. The SAME (code, fn) pairs work unchanged as
-``conversation_rules(pandas_rules=...)`` in batch, which is the parity
-contract tests/test_stream_convrules.py asserts.
+Two streaming forms, mirroring the batch tiers:
+
+- ``stream_conversation_rules`` — the PANDAS tier: inside a stateful
+  Arrow operator the finalized turns are already per-group Python
+  data, so a pandas rule fn is the natural evaluation form. The SAME
+  (code, fn) pairs work unchanged as
+  ``conversation_rules(pandas_rules=...)`` in batch, which is the
+  parity contract tests/test_stream_convrules.py asserts.
+- ``stream_conversation_rules_agg`` — the AGGREGATE tier via Spark's
+  native ``session_window``: fully JVM-side, no Python state at all;
+  the same boolean aggregate Columns as
+  ``conversation_rules(agg_rules=...)``.
 
 Scale shape: one shuffle (the groupBy(conv_id) every stateful operator
 needs); state per live conversation is its turn tuples — bounded by
@@ -32,7 +37,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ._util import dur_ms as _dur_ms
 from ._util import order_turns as _order_turns
@@ -173,3 +178,60 @@ def stream_conversation_rules(stream_df: DataFrame,
             .applyInPandasWithState(
                 fn, out_schema, state_schema, "append",
                 GroupStateTimeout.EventTimeTimeout))
+
+
+def stream_conversation_rules_agg(stream_df: DataFrame,
+                                  agg_rules: Sequence,
+                                  *,
+                                  conv_col: str = "conv_id",
+                                  ts_col: str = "ts",
+                                  watermark: str = "10 minutes",
+                                  session_gap: str = "30 minutes"
+                                  ) -> DataFrame:
+    """The AGGREGATE tier of conversation_rules on a stream — fully
+    JVM-side, no Python state: ``groupBy(conv_id,
+    session_window(ts, gap))`` evaluates the same boolean aggregate
+    expressions (``F.sum(F.length("text")) <= budget``, ...) per
+    event-time session, and the failing codes are emitted in append
+    mode when the watermark closes the session. Spark's native session
+    windows ARE the session-gap fragmentation (turns within ``gap`` of
+    each other merge into one session), so fragment semantics match
+    the stateful pandas twin — without its per-group Python state,
+    which makes this the 100 TB/day ingest path: whole-stage-codegen
+    aggregation with partial states in Spark's own windowed-agg state
+    store, bounded by sessions open within one gap+watermark horizon.
+
+    ``agg_rules``: same ``(code, ok)`` contract as
+    ``conversation_rules(agg_rules=...)`` — boolean aggregate Column
+    or 0-arg callable; NULL verdict ⇒ failure. Order-dependent rules
+    need ``F.min_by/max_by(..., ts)`` here (there is no sorted array);
+    rows with NULL event time are dropped by the session window
+    (batch twins see them NULL-first) — enforce ``required(ts)``
+    upstream if NULL timestamps must be violations.
+
+    Output (append): ``<conv_col>, session_start, code``.
+    """
+    agg_rules = list(agg_rules or [])
+    if not agg_rules:
+        raise ValueError("no conversation rules given")
+    aggs, checks = [], []
+    for i, (code, ok) in enumerate(agg_rules):
+        if not isinstance(code, str) or not code:
+            raise ValueError(f"rule code must be a non-empty str: {code!r}")
+        if not isinstance(ok, Column) and not callable(ok):
+            raise ValueError(
+                f"agg rule {code}: need a Column or a 0-arg callable")
+        col = ok() if callable(ok) else ok
+        aggs.append(col.alias(f"_ok{i}"))
+        checks.append((code, F.col(f"_ok{i}")))
+    codes = F.array_compact(F.array(*[
+        F.when(ok, F.lit(None).cast("string")).otherwise(F.lit(code))
+        for code, ok in checks]))
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(conv_col,
+                     F.session_window(F.col(ts_col), session_gap))
+            .agg(*aggs)
+            .select(conv_col,
+                    F.col("session_window.start").alias("session_start"),
+                    F.explode(codes).alias("code")))
