@@ -56,6 +56,37 @@ ColumnRule = "tuple[str, Callable[[Column], Column]]"
 PandasRule = "tuple[str, Callable[..., object]]"
 
 
+def _validate_code(code) -> None:
+    if not isinstance(code, str) or not code:
+        raise ValueError(f"rule code must be a non-empty str: {code!r}")
+
+
+def compile_agg_rules(agg_rules: Sequence) -> tuple:
+    """(aliased aggregate Columns, (code, ok-Column) checks) for a
+    list of ``(code, Column-or-0-arg-callable)`` aggregate rules —
+    shared by this batch operator and the session_window streaming
+    twin so the two tiers cannot drift."""
+    aggs, checks = [], []
+    for i, (code, ok) in enumerate(agg_rules):
+        _validate_code(code)
+        if not isinstance(ok, Column) and not callable(ok):
+            raise ValueError(
+                f"agg rule {code}: need a Column or a 0-arg callable")
+        col = ok() if callable(ok) else ok
+        aggs.append(col.alias(f"_ok{i}"))
+        checks.append((code, F.col(f"_ok{i}")))
+    return aggs, checks
+
+
+def codes_column(checks: Sequence) -> Column:
+    """Failing-code array from (code, ok-Column) checks. NULL ok falls
+    through when() to the code literal — the engine's schema-rule
+    convention (unknown ⇒ not proven ok)."""
+    return F.array_compact(F.array(*[
+        F.when(ok, F.lit(None).cast("string")).otherwise(F.lit(code))
+        for code, ok in checks]))
+
+
 def conversation_rules(
         df: DataFrame,
         rules: Optional[Sequence] = None,
@@ -81,7 +112,8 @@ def conversation_rules(
     ``pandas_rules``: sequence of ``(code, fn)`` where ``fn(pdf)``
     receives the conversation's turns as a pandas DataFrame (columns
     ``idx_col``, ``ts_col`` if present, and ``fields``; rows sorted by
-    (idx, ts)) and returns truthy ok. Falsy/None ⇒ failure; an
+    (idx, ts) with NULLs FIRST — the same order the seq tier's struct
+    array_sort and the streaming twin produce) and returns truthy ok. Falsy/None ⇒ failure; an
     exception propagates (a broken rule should fail the job, not pass
     the data).
 
@@ -96,16 +128,9 @@ def conversation_rules(
     if not rules and not agg_rules and not pandas_rules:
         raise ValueError("no conversation rules given")
     for code, fn in rules + pandas_rules:
-        if not isinstance(code, str) or not code:
-            raise ValueError(f"rule code must be a non-empty str: {code!r}")
+        _validate_code(code)
         if not callable(fn):
             raise ValueError(f"rule {code}: builder must be callable")
-    for code, ok in agg_rules:
-        if not isinstance(code, str) or not code:
-            raise ValueError(f"rule code must be a non-empty str: {code!r}")
-        if not isinstance(ok, Column) and not callable(ok):
-            raise ValueError(
-                f"agg rule {code}: need a Column or a 0-arg callable")
     if ts_col == "ts" and "ts" not in df.columns:
         ts_col = None
     key_cols = [conv_col, idx_col] + ([ts_col] if ts_col else [])
@@ -115,24 +140,16 @@ def conversation_rules(
 
     parts = []
     if rules or agg_rules:
-        aggs, checks = [], []
+        aggs, checks = compile_agg_rules(agg_rules)
         if rules:
             seq = F.array_sort(
                 F.collect_list(F.struct(*[F.col(c) for c in struct_cols])))
             aggs.append(seq.alias("_turns"))
             checks += [(code, builder(F.col("_turns")))
                        for code, builder in rules]
-        for i, (code, ok) in enumerate(agg_rules):
-            col = ok() if callable(ok) else ok
-            aggs.append(col.alias(f"_ok{i}"))
-            checks.append((code, F.col(f"_ok{i}")))
         g = df.groupBy(conv_col).agg(*aggs)
-        # NULL ok falls through when() to the code literal — the
-        # engine's schema-rule convention (unknown ⇒ not proven ok)
-        codes = F.array_compact(F.array(*[
-            F.when(ok, F.lit(None).cast("string")).otherwise(F.lit(code))
-            for code, ok in checks]))
-        parts.append(g.select(conv_col, F.explode(codes).alias("code")))
+        parts.append(g.select(
+            conv_col, F.explode(codes_column(checks)).alias("code")))
 
     if pandas_rules:
         import pandas as pd
@@ -144,7 +161,11 @@ def conversation_rules(
         prules = pandas_rules
 
         def _eval(key, pdf):
-            turns = (pdf[carry].sort_values(sort_cols)
+            # na_position='first': NULL idx/ts order first, matching
+            # the seq tier's struct array_sort and the streaming
+            # twin's order_turns (SQL NULLS FIRST convention)
+            turns = (pdf[carry].sort_values(sort_cols,
+                                            na_position="first")
                      .reset_index(drop=True))
             failed = [code for code, fn in prules if not fn(turns)]
             return pd.DataFrame({conv_col: [key[0]] * len(failed),

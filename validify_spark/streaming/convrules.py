@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ._util import dur_ms as _dur_ms
 from ._util import order_turns as _order_turns
@@ -66,12 +66,16 @@ def stream_conversation_rules(stream_df: DataFrame,
                               session_gap: str = "30 minutes"
                               ) -> DataFrame:
     """One append row per (finalized conversation fragment, failed
-    rule): ``<conv_col>, code``.
+    rule): ``<conv_col>, session_start, code`` — ``session_start`` is
+    the fragment's first event time (NULL if no turn carried one), the
+    same fragment identifier the agg twin reports, so two episodes of
+    one conv_id failing the same rule stay distinguishable.
 
     ``pandas_rules``: sequence of ``(code, fn)`` — the same contract
     as the batch operator's pandas tier: ``fn(pdf)`` gets the
     fragment's turns as a pandas DataFrame (columns ``idx_col``,
-    ``ts_col`` and ``fields``, rows in None-first (idx, ts) order) and
+    ``ts_col`` and ``fields``, rows in None-first (idx, ts) order —
+    identical to the batch tier's na_position='first' sort) and
     returns truthy ok; falsy/None ⇒ violation, an exception fails the
     query. NOTE: nullable-int dtypes may differ from batch Arrow
     conversion (state round-trips through Python lists) — compare
@@ -80,12 +84,13 @@ def stream_conversation_rules(stream_df: DataFrame,
     ``fields``: extra turn columns carried in state (primitive types
     only); default = every column except conv/idx/ts.
     """
+    from ..checks.convrules import _validate_code
+
     pandas_rules = list(pandas_rules or [])
     if not pandas_rules:
         raise ValueError("no conversation rules given")
     for code, fn in pandas_rules:
-        if not isinstance(code, str) or not code:
-            raise ValueError(f"rule code must be a non-empty str: {code!r}")
+        _validate_code(code)
         if not callable(fn):
             raise ValueError(f"rule {code}: fn must be callable")
 
@@ -110,12 +115,18 @@ def stream_conversation_rules(stream_df: DataFrame,
         state_cols.append(f"f{i} array<{arr_t}>")
         coerce[c] = py
     state_schema = ", ".join(state_cols + ["max_ts_ms long"])
-    out_schema = f"{conv_col} {ftypes[conv_col]}, code string"
+    out_schema = (f"`{conv_col}` {ftypes[conv_col]}, "
+                  f"session_start timestamp, code string")
     gap_ms = _dur_ms(session_gap)
     rules = pandas_rules
 
+    def _empty_out():
+        return pd.DataFrame({conv_col: [],
+                             "session_start": pd.to_datetime([]),
+                             "code": []})
+
     def _finalize(conv, idxs, ts_us, fvals):
-        convs, codes = [], []
+        convs, starts, codes = [], [], []
         for frag in _split_fragments(idxs, ts_us, gap_ms * 1000):
             order = _order_turns(frag, idxs, ts_us)
             data = {idx_col: pd.array([idxs[k] for k in order],
@@ -127,11 +138,16 @@ def stream_conversation_rules(stream_df: DataFrame,
                 data[c] = pd.Series([vals[k] for k in order],
                                     dtype="object")
             pdf = pd.DataFrame(data)
+            frag_ts = [ts_us[k] for k in frag if ts_us[k] is not None]
+            start = (pd.Timestamp(min(frag_ts), unit="us")
+                     if frag_ts else pd.NaT)
             for code, fn in rules:
                 if not fn(pdf):
                     convs.append(conv)
+                    starts.append(start)
                     codes.append(code)
-        return pd.DataFrame({conv_col: convs, "code": codes})
+        return pd.DataFrame({conv_col: convs, "session_start": starts,
+                             "code": codes})
 
     def fn(key, pdfs, state):
         conv = key[0]
@@ -155,21 +171,23 @@ def stream_conversation_rules(stream_df: DataFrame,
         if frames:
             pdf = (pd.concat(frames, ignore_index=True)
                    if len(frames) > 1 else frames[0])
-            for row in pdf.itertuples(index=False):
-                r = row._asdict()
-                idx, ts = r[idx_col], r[ts_col]
-                has_ts = not pd.isna(ts)
-                idxs.append(None if pd.isna(idx) else int(idx))
-                ts_us.append(int(ts.value // 1000) if has_ts else None)
-                for c, acc in zip(fields, fvals):
-                    v = r[c]
-                    acc.append(None if pd.isna(v) else coerce[c](v))
-                if has_ts:
-                    max_ts_ms = max(max_ts_ms, int(ts.value // 10**6))
+            # column-wise extraction: no per-row dicts, and immune to
+            # itertuples' silent renaming of non-identifier columns
+            idxs += [None if pd.isna(v) else int(v)
+                     for v in pdf[idx_col]]
+            new_us = [None if pd.isna(v) else int(v.value // 1000)
+                      for v in pdf[ts_col]]
+            ts_us += new_us
+            for c, acc in zip(fields, fvals):
+                py = coerce[c]
+                acc += [None if pd.isna(v) else py(v) for v in pdf[c]]
+            got_ms = [u // 1000 for u in new_us if u is not None]
+            if got_ms:
+                max_ts_ms = max(max_ts_ms, max(got_ms))
         state.update(tuple([idxs, ts_us] + fvals + [max_ts_ms]))
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(max_ts_ms + gap_ms, wm + 1))
-        yield pd.DataFrame({conv_col: [], "code": []})
+        yield _empty_out()
 
     return (stream_df
             .select(conv_col, idx_col, ts_col, *fields)
@@ -211,22 +229,14 @@ def stream_conversation_rules_agg(stream_df: DataFrame,
 
     Output (append): ``<conv_col>, session_start, code``.
     """
+    from ..checks.convrules import codes_column, compile_agg_rules
+
     agg_rules = list(agg_rules or [])
     if not agg_rules:
         raise ValueError("no conversation rules given")
-    aggs, checks = [], []
-    for i, (code, ok) in enumerate(agg_rules):
-        if not isinstance(code, str) or not code:
-            raise ValueError(f"rule code must be a non-empty str: {code!r}")
-        if not isinstance(ok, Column) and not callable(ok):
-            raise ValueError(
-                f"agg rule {code}: need a Column or a 0-arg callable")
-        col = ok() if callable(ok) else ok
-        aggs.append(col.alias(f"_ok{i}"))
-        checks.append((code, F.col(f"_ok{i}")))
-    codes = F.array_compact(F.array(*[
-        F.when(ok, F.lit(None).cast("string")).otherwise(F.lit(code))
-        for code, ok in checks]))
+    # same rule compilation + NULL-verdict encoding as the batch
+    # operator — shared helpers keep the two tiers from drifting
+    aggs, checks = compile_agg_rules(agg_rules)
     return (stream_df
             .withWatermark(ts_col, watermark)
             .groupBy(conv_col,
@@ -234,4 +244,4 @@ def stream_conversation_rules_agg(stream_df: DataFrame,
             .agg(*aggs)
             .select(conv_col,
                     F.col("session_window.start").alias("session_start"),
-                    F.explode(codes).alias("code")))
+                    F.explode(codes_column(checks)).alias("code")))
