@@ -362,3 +362,58 @@ def test_fuzz_stream_shape_equals_batch(spark, tmpdir, seed):
                          F.col("ts").cast("timestamp").alias("ts")),
                  ts_col="ts", **cfg).collect()}
     assert got == batch, f"seed={seed} cfg={cfg}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_stream_convrules_equals_batch(spark, tmpdir, seed):
+    """Random transcripts split into random micro-batches through
+    stream_conversation_rules: the finalized violations equal the
+    batch pandas tier on the union (wide watermark/gap so neither
+    late-drop nor fragmentation perturbs the comparison). Rules are
+    NULL-robust (fillna) so batch/stream dtype differences are moot."""
+    from validify_spark.checks import conversation_rules
+    from validify_spark.streaming import stream_conversation_rules
+
+    prules = [
+        ("has_assistant",
+         lambda p: (p["role"].fillna("0") == "assistant").any()),
+        ("even_turns", lambda p: len(p) % 2 == 0),
+        ("closer_not_user",
+         lambda p: p["role"].fillna("0").iloc[-1] != "user"),
+    ]
+    rng = random.Random(6000 + seed)
+    rows = _gen_turns(rng)
+    n_batches = rng.randint(2, 3)
+    batches = [[] for _ in range(n_batches)]
+    for row in rows:
+        batches[rng.randrange(n_batches)].append(row)
+    batches = [b for b in batches if b]
+    batches.append([("zz_flush", 0, "user", "f", 10**9)])
+
+    src_dir = f"{tmpdir}/cr{seed}_src"
+    for b in batches:
+        (spark.createDataFrame(b, SCHEMA)
+         .select("conv_id", "turn_idx", "role", "text",
+                 F.col("ts").cast("timestamp").alias("ts"))
+         .coalesce(1).write.mode("append").parquet(src_dir))
+        _time.sleep(1.1)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    q = (stream_conversation_rules(
+            stream, prules, ts_col="ts", watermark="365 days",
+            session_gap="365 days")
+         .writeStream.format("memory").queryName(f"cr{seed}")
+         .option("checkpointLocation", f"{tmpdir}/cr{seed}_ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r.conv_id, r.code)
+           for r in spark.sql(f"SELECT * FROM cr{seed}").collect()}
+
+    batch = {(r["conv_id"], r["code"])
+             for r in conversation_rules(
+                 spark.createDataFrame(rows, SCHEMA)
+                 .select("conv_id", "turn_idx", "role", "text",
+                         F.col("ts").cast("timestamp").alias("ts")),
+                 pandas_rules=prules).collect()}
+    assert got == batch, f"seed={seed}"
