@@ -21,6 +21,16 @@ At 10^12 rows the unit of restart is the partition group (e.g. 4096
 conv_id buckets), so a failed 40-hour run resumes at the granularity of
 minutes of lost work, and the audit table doubles as a progress and
 throughput dashboard.
+
+Composing with conversation-level checks: the DEFAULT partitioning is a
+hash bucket of the engine's first key column (conv_id for transcripts),
+so every conversation is whole within its group by construction —
+``checks.conversation_rules`` / ``conversation_shape_violations`` run
+correctly per group over the same partition slices (their groupBy never
+crosses a group boundary). A custom ``partition_expr`` that splits
+conversations (e.g. ``date(ts)``) keeps ROW-level rules correct but
+breaks whole-conversation semantics — partition by conv_id bucket when
+conversation-level checks ride along.
 """
 
 from __future__ import annotations
