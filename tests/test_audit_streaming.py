@@ -177,3 +177,55 @@ def test_audit_run_with_zero_violations(spark, tmpdir):
     assert len(done) == 4
     assert all(p["passed"] and p["n_violations"] == 0 for p in done)
     assert sum(p["n_rows"] for p in done) == 50
+
+
+def test_audit_run_with_conversation_rules(spark, tmpdir):
+    """Whole-conversation aggregate rules ride the resumable runner:
+    conversation violations land per group, their counts join the
+    marker/audit row, and pass/fail reflects BOTH row and conversation
+    verdicts — cross-checked against a direct conversation_rules run
+    bucketed the same way."""
+    from validify_spark.checks import conversation_rules
+
+    turns = generate_turns(spark, 2000, seed=7).persist()
+    conv_rules = [
+        ("has_assistant", F.max(F.col("role") == "assistant")),
+        ("max_40_turns", F.count("*") <= 40),
+    ]
+    run = AuditedValidationRun(_engine(), tmpdir, run_id="cr",
+                               n_buckets=8, conv_agg_rules=conv_rules)
+    payloads = run.run(turns)
+    assert len(payloads) == 8
+
+    # direct evaluation, bucketed identically
+    direct = (conversation_rules(
+                  _engine().normalize(turns),
+                  agg_rules=conv_rules, conv_col="conv_id")
+              .withColumn("pid", (F.abs(F.xxhash64(F.col("conv_id")))
+                                  % 8).cast("string")))
+    expected = {r["pid"]: r["n"]
+                for r in direct.groupBy("pid")
+                .agg(F.count("*").alias("n")).collect()}
+    got = {p["partition_id"]: p["n_conv_violations"] for p in payloads}
+    assert {k: v for k, v in got.items() if v} == expected
+
+    # pass/fail folds conversation verdicts in
+    for p in payloads:
+        assert p["passed"] == (p["n_violations"] == 0
+                               and p["n_conv_violations"] == 0)
+    # the committed conv-violations table is readable and group-tagged
+    cv = spark.read.parquet(run.conv_violations_dir)
+    assert {"conv_id", "code", "partition_id"} <= set(cv.columns)
+    assert cv.count() == sum(expected.values())
+
+    # audit table carries the new column for every group
+    audit = read_audit_log(spark, tmpdir, "cr").collect()
+    assert all(r["n_conv_violations"] is not None for r in audit)
+    turns.unpersist()
+
+
+def test_conv_rules_reject_custom_partitioning(spark, tmpdir):
+    with pytest.raises(ValueError, match="default conv-hash"):
+        AuditedValidationRun(
+            _engine(), tmpdir, partition_expr=F.lit("x"),
+            conv_agg_rules=[("c", F.count("*") <= 1)])

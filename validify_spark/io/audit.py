@@ -49,7 +49,7 @@ from ..engine import ValidationEngine
 AUDIT_SCHEMA = ("run_id string, partition_id string, n_rows long, "
                 "n_failed_rows long, n_violations long, passed boolean, "
                 "ruleset string, started_at string, finished_at string, "
-                "wall_sec double")
+                "wall_sec double, n_conv_violations long")
 
 
 def _has_data_files(spark: SparkSession, d: str) -> bool:
@@ -109,7 +109,8 @@ class AuditedValidationRun:
                  partition_expr: Optional[Column] = None,
                  n_buckets: int = 16,
                  audit_table: Optional[str] = None,
-                 partition_domain: Optional[Sequence[str]] = None):
+                 partition_domain: Optional[Sequence[str]] = None,
+                 conv_agg_rules: Optional[Sequence] = None):
         """``audit_table``: optional Iceberg table identifier
         (``catalog.db.audit``) — lineage + metrics rows append there
         via the sources abstraction instead of the default parquet
@@ -124,7 +125,26 @@ class AuditedValidationRun:
         ``distinct()`` scan of the input — a full pass over the table
         at 10^12 rows, so callers at scale should always supply the
         domain (the default hash-bucket path enumerates bucket ids and
-        never scans)."""
+        never scans).
+
+        ``conv_agg_rules``: optional whole-conversation aggregate rules
+        (the ``conversation_rules(agg_rules=...)`` contract —
+        ``(code, boolean aggregate Column)`` pairs over the turn
+        columns). Evaluated per commit batch against the engine's
+        first key column as conv_id; conversation violations land
+        under ``out_dir/conv_violations/`` partitioned by group, their
+        counts join the marker/audit row (``n_conv_violations``), and
+        a group passes only when BOTH row and conversation violations
+        are zero. Requires the default conv-hash partitioning — a
+        custom ``partition_expr`` could split a conversation across
+        groups, silently mis-evaluating whole-conversation rules, so
+        that combination raises."""
+        if conv_agg_rules and partition_expr is not None:
+            raise ValueError(
+                "conv_agg_rules requires the default conv-hash "
+                "partitioning: a custom partition_expr can split a "
+                "conversation across groups, breaking "
+                "whole-conversation semantics")
         self.engine = engine
         self.out_dir = out_dir.rstrip("/")
         self.run_id = run_id
@@ -133,6 +153,7 @@ class AuditedValidationRun:
         self.audit_table = audit_table
         self.partition_domain = (sorted(str(p) for p in partition_domain)
                                  if partition_domain is not None else None)
+        self.conv_agg_rules = list(conv_agg_rules or [])
         os.makedirs(self._marker_dir, exist_ok=True)
 
     # -- layout -----------------------------------------------------------
@@ -143,6 +164,10 @@ class AuditedValidationRun:
     @property
     def violations_dir(self) -> str:
         return f"{self.out_dir}/violations/{self.run_id}"
+
+    @property
+    def conv_violations_dir(self) -> str:
+        return f"{self.out_dir}/conv_violations/{self.run_id}"
 
     @property
     def audit_path(self) -> str:
@@ -270,21 +295,54 @@ class AuditedValidationRun:
             # _SUCCESS in the dir — correctly zero violations everywhere
             vcounts = {}
 
+        # optional whole-conversation rules: one extra aggregation scan
+        # over the batch (conversations are whole per group — enforced
+        # at construction), written/counted with the same idempotent
+        # dynamic-overwrite + explicit-empty-dir discipline as row
+        # violations
+        ccounts = {}
+        if self.conv_agg_rules:
+            from ..checks.convrules import conversation_rules
+            key = self.engine.key_cols[0]
+            cv = (conversation_rules(src.drop("__pid"),
+                                     agg_rules=self.conv_agg_rules,
+                                     conv_col=key)
+                  # partition id is a pure function of conv_id, so it
+                  # is recomputable from the group output itself
+                  .withColumn("partition_id", self._partition_col()))
+            (cv.write.mode("overwrite")
+               .option("partitionOverwriteMode", "dynamic")
+               .partitionBy("partition_id")
+               .parquet(self.conv_violations_dir))
+            if _has_data_files(spark, self.conv_violations_dir):
+                ccounts = {
+                    r["partition_id"]: r["n"]
+                    for r in spark.read.parquet(self.conv_violations_dir)
+                        .filter(F.col("partition_id").cast("string")
+                                .isin(pids))
+                        .groupBy(F.col("partition_id").cast("string")
+                                  .alias("partition_id"))
+                        .agg(F.count("*").alias("n")).collect()
+                }
+
         finished = dt.datetime.now(dt.timezone.utc)
         wall = round(time.perf_counter() - t0, 3)
         payloads = []
         for pid in pids:
             n_rows, n_failed = stats.get(pid, (0, 0))
             n_viol = int(vcounts.get(pid, 0))
+            n_conv = int(ccounts.get(pid, 0))
             payloads.append({
                 "run_id": self.run_id, "partition_id": pid,
                 "n_rows": int(n_rows), "n_failed_rows": int(n_failed or 0),
-                "n_violations": n_viol, "passed": n_viol == 0,
+                "n_violations": n_viol,
+                "passed": n_viol == 0 and n_conv == 0,
                 "ruleset": self.engine.ruleset.name,
                 "started_at": started.isoformat(),
                 "finished_at": finished.isoformat(),
                 # wall time of the commit batch containing this group
                 "wall_sec": wall,
+                "n_conv_violations": n_conv,
             })
         # audit rows first, markers last: a crash between the two re-runs
         # the batch (idempotent overwrite), never skips it
