@@ -171,3 +171,30 @@ def standard_turns_ruleset(run_ts: dt.datetime | None = None) -> R.RuleSet:
         ],
         modifiers=[R.trim("text"), R.lowercase("role")],
     )
+
+
+def standard_conversation_rules() -> list:
+    """Standard whole-conversation aggregate rules for the transcript
+    table — the ``conversation_rules(agg_rules=...)`` /
+    ``AuditedValidationRun(conv_agg_rules=...)`` contract: (code,
+    boolean aggregate Column) pairs, NULL verdict = failure.
+
+    - ``has_assistant``: a conversation with no assistant turn is a
+      broken trace (fires on generator poisons that replace the
+      assistant slot with 'robot'/NULL, and on head-truncated convs).
+    - ``max_512_turns``: runaway-agent cap (fires on the generator's
+      hot conversations, HOT_CONV_TURNS=800).
+    - ``tool_after_assistant``: the first tool turn must follow an
+      assistant turn (agent traces show the assistant requesting the
+      call).
+    """
+    min_tool = F.min(F.when(F.col("role") == "tool", F.col("turn_idx")))
+    min_asst = F.min(F.when(F.col("role") == "assistant",
+                            F.col("turn_idx")))
+    return [
+        ("has_assistant", F.max(F.col("role") == "assistant")),
+        ("max_512_turns", F.count("*") <= 512),
+        ("tool_after_assistant",
+         min_tool.isNull()
+         | (min_asst.isNotNull() & (min_asst < min_tool))),
+    ]

@@ -47,6 +47,10 @@ def main(argv=None) -> int:
     p.add_argument("--checks", default="all",
                    choices=["none", "all"],
                    help="run distributed-only checks after validation")
+    p.add_argument("--conv-checks", action="store_true",
+                   help="also evaluate the standard whole-conversation "
+                        "rules per partition group (adds "
+                        "n_conv_violations to the audit rows)")
     p.add_argument("--gen-rows", type=int, default=None,
                    help="generate a synthetic turns table instead of "
                         "--input (smoke/bench)")
@@ -62,7 +66,9 @@ def main(argv=None) -> int:
         categorical_histogram, drift_report, ordering_violations,
         referential_orphans, stats_profile, uniqueness_violations,
     )
-    from validify_spark.data import generate_turns, standard_turns_ruleset
+    from validify_spark.data import (generate_turns,
+                                     standard_conversation_rules,
+                                     standard_turns_ruleset)
     from validify_spark.engine import ValidationEngine
     from validify_spark.io import AuditedValidationRun, read_audit_log
     from validify_spark.io.sources import read_table
@@ -92,8 +98,11 @@ def main(argv=None) -> int:
     eng = ValidationEngine(standard_turns_ruleset(run_ts),
                            key_cols=["conv_id", "turn_idx"],
                            run_ts=run_ts)
+    conv_rules = (standard_conversation_rules() if args.conv_checks
+                  else None)
     run = AuditedValidationRun(eng, args.out, run_id=args.run_id,
-                               n_buckets=args.buckets)
+                               n_buckets=args.buckets,
+                               conv_agg_rules=conv_rules)
     done = run.run(turns)
 
     summary = {
@@ -109,6 +118,9 @@ def main(argv=None) -> int:
                     F.count("*").alias("groups")).collect()[0]
     summary.update(rows=tot["rows"], violations=tot["violations"],
                    groups_passed=tot["passed"], groups=tot["groups"])
+    if args.conv_checks:
+        summary["conv_violations"] = audit.agg(
+            F.sum("n_conv_violations")).collect()[0][0]
 
     if args.checks == "all":
         summary["dup_keys"] = uniqueness_violations(
