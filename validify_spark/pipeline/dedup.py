@@ -109,15 +109,36 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     exact_duplicates (clones) or minhash_lsh_pairs (banded buckets
     don't blow up quadratically) instead.
 
-    No persist: the exploded shingle relation is O(tokens) — far larger
-    than the input at 100 TB — so instead of pinning it in executor
-    memory we repartition it by shingle ONCE and let Spark's exchange
-    reuse serve every consumer (hot-shingle agg + both self-join sides)
-    from the same shuffle files: the shingling map side runs exactly
-    once, and the join needs no further exchange (both sides are
-    already hash-partitioned on the join key)."""
-    sh = word_shingles(df, id_col, text_col, n) \
-        .repartition(F.col("shingle"))
+    Execution shape (r6, measured at sf1.0 — 55k docs, 2.88M shingle
+    rows, 154M raw candidate-pair rows):
+
+    - The shingle relation is materialized ONCE (``localCheckpoint``,
+      hash-partitioned by shingle). r5 relied on exchange reuse to
+      serve the four consumers (hot-shingle agg, both self-join sides,
+      sizes) from one shuffle; the executed plan shows reuse never
+      fires (0 ReusedExchange nodes) and the shingling
+      scan+regex+exchange ran 4-8x per query. With the checkpoint every
+      consumer reads the materialized blocks and the self-join is
+      co-partitioned — zero further exchanges on the shingle side. At
+      corpus scale the blocks are executor memory+disk; a lost executor
+      fails the job (same trade simhash_pairs documents — its
+      ``checkpoint_dir`` seam is the durable variant).
+    - Set sizes are attached to BOTH join sides up front and the join
+      is prefiltered with the lossless size-ratio bound implied by
+      ``jaccard >= threshold``: intersection <= min(sa, sb) and
+      j = i/(sa+sb-i) >= t together force
+      ``min(sa,sb)*(1+t) >= t*(sa+sb)``. Measured at sf1.0/t=0.8 this
+      drops the join output 154M -> 57M rows before the pair shuffle
+      (guide §3.2: reduce the big side before shuffling). The bound is
+      evaluated at t-1e-6 because the final filter reads the ROUNDED
+      jaccard — every pair the final filter can keep satisfies it, so
+      the result set is bit-identical.
+    - sa/sb ride the pair groupBy as (functionally dependent) grouping
+      keys, so the old post-aggregation re-joins against sizes are
+      gone."""
+    sh = (word_shingles(df, id_col, text_col, n)
+          .repartition(F.col("shingle"))
+          .localCheckpoint(eager=True))
     if max_df is not None:
         hot = (sh.groupBy("shingle")
                  .agg(F.count(F.lit(1)).alias("df"))
@@ -127,26 +148,32 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     else:
         sh_use = sh
     # sizes over the SAME shingle universe as the intersections —
-    # capped sizes keep the Jaccard ratio consistent under max_df
-    sizes = _doc_sizes(sh_use, id_col)
-    a = sh_use.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh_use.select(F.col(id_col).alias("id_b"), "shingle")
+    # capped sizes keep the Jaccard ratio consistent under max_df.
+    # Materialized: it feeds both join sides (tiny — one row per doc).
+    sizes = _doc_sizes(sh_use, id_col).localCheckpoint(eager=True)
+    a = (sh_use
+         .join(sizes.withColumnRenamed("set_size", "sa"), id_col)
+         .select(F.col(id_col).alias("id_a"), "sa", "shingle"))
+    b = (sh_use
+         .join(sizes.withColumnRenamed("set_size", "sb"), id_col)
+         .select(F.col(id_col).alias("id_b"), "sb", "shingle"))
+    # lossless prefilter: implied by the final (rounded) jaccard filter
+    t_eff = max(threshold - 1e-6, 0.0)
     inter = (a.join(b, "shingle")
-              .filter(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b")
+              .filter((F.col("id_a") < F.col("id_b"))
+                      & (F.least("sa", "sb") * (1.0 + t_eff)
+                         >= t_eff * (F.col("sa") + F.col("sb"))))
+              .groupBy("id_a", "id_b", "sa", "sb")
               .agg(F.count(F.lit(1)).alias("intersection")))
-    sa = sizes.select(F.col(id_col).alias("id_a"),
-                      F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"),
-                      F.col("set_size").alias("size_b"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
+    return (inter
             .withColumn("jaccard", F.round(
                 F.col("intersection")
-                / (F.col("size_a") + F.col("size_b")
+                / (F.col("sa") + F.col("sb")
                    - F.col("intersection")), 6))
             .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "intersection", "size_a",
-                    "size_b", "jaccard"))
+            .select("id_a", "id_b", "intersection",
+                    F.col("sa").alias("size_a"),
+                    F.col("sb").alias("size_b"), "jaccard"))
 
 
 # ---------------------------------------------------------------------------
