@@ -16,19 +16,27 @@ Codes:
 - ``too_many_turns``      — conversation exceeds ``max_turns``
   (runaway agent loop); turn_idx is NULL for this conv-level code.
 
-Scale shape: ONE shuffle — groupBy(conv_id) with a sorted
-collect_list of (turn_idx, ts, role) structs, then pure higher-order
-array expressions derive every code (no window, no second exchange,
-no Python). Per-conversation turn counts are bounded in practice
-(same contract as ordering_violations); a hot conv is one group's
-work. Struct array_sort orders field-by-field, so (idx, ts) is the
-same deterministic tie-break the ordering check and any external
-oracle ``ORDER BY idx, ts`` use.
+Scale shape: ONE shuffle — a window partitioned by conv_id, ordered by
+(turn_idx[, ts], role): ``lag(role)`` answers role_repeat,
+``row_number`` marks the first/last turns, an unordered count-over-
+partition answers too_many_turns, and every code is a compiled
+``when`` over those — no collected array, no interpreted higher-order
+lambdas. (r6: the previous collect_list + array_sort + per-element
+``transform`` formulation spent most of its time in interpreted lambda
+evaluation over every turn; the window form computes the identical
+codes entirely in compiled expressions and shuffles the same one
+exchange.) The (idx[, ts], role) sort matches the old struct
+array_sort field-by-field order — including role as the final
+tie-break — with ascending NULLS FIRST, so results are identical even
+on (idx, ts)-duplicate rows. Per-conversation turn counts are bounded
+in practice (same contract as ordering_violations); a hot conv is one
+window group's work.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def conversation_shape_violations(
@@ -52,67 +60,60 @@ def conversation_shape_violations(
     """
     if ts_col == "ts" and "ts" not in df.columns:
         ts_col = None
-    order = [F.col(idx_col).alias("i")]
-    if ts_col is not None:
-        order.append(F.col(ts_col).alias("t"))
-    seq = F.array_sort(F.collect_list(
-        F.struct(*order, F.col(role_col).alias("r"))))
-    g = (df.groupBy(conv_col).agg(seq.alias("_seq")))
-
-    first = F.col("_seq").getItem(0)
-    last = F.element_at("_seq", -1)
-    n = F.size("_seq")
-
-    conv_codes = []
-    if zero_based:
-        conv_codes.append(
-            F.when(first.getField("i") != 0,
-                   F.struct(first.getField("i").alias("i"),
-                            F.lit("first_idx_not_zero").alias("code"))))
-    if first_role is not None:
-        # NULL-safe: a NULL first role is not the expected opener
-        conv_codes.append(
-            F.when(~first.getField("r").eqNullSafe(F.lit(first_role)),
-                   F.struct(first.getField("i").alias("i"),
-                            F.lit("first_role").alias("code"))))
-    if last_role is not None:
-        conv_codes.append(
-            F.when(~last.getField("r").eqNullSafe(F.lit(last_role)),
-                   F.struct(last.getField("i").alias("i"),
-                            F.lit("last_role").alias("code"))))
-    idx_type = df.schema[idx_col].dataType.simpleString()
-    if max_turns is not None:
-        conv_codes.append(
-            F.when(n > max_turns,
-                   F.struct(F.lit(None).cast(idx_type).alias("i"),
-                            F.lit("too_many_turns").alias("code"))))
-
-    parts = []
-    if conv_codes:
-        parts.append(F.array_compact(F.array(*conv_codes)))
-    if alternate:
-        # sequence(1, 0) is DESCENDING [1, 0] in Spark — guard n >= 2
-        rep = F.when(
-            n >= 2,
-            F.array_compact(F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.when(
-                    F.element_at("_seq", i + 1).getField("r").eqNullSafe(
-                        F.element_at("_seq", i).getField("r")),
-                    F.struct(
-                        F.element_at("_seq", i + 1).getField("i")
-                        .alias("i"),
-                        F.lit("role_repeat").alias("code"))))),
-        ).otherwise(F.array().cast(
-            f"array<struct<i:{idx_type},code:string>>"))
-        parts.append(rep)
-    if not parts:
+    if not (zero_based or first_role is not None or last_role is not None
+            or alternate or max_turns is not None):
         raise ValueError("no shape checks requested")
 
-    out = parts[0]
-    for p in parts[1:]:
-        out = F.concat(out, p)
-    return (g.select(conv_col, F.explode(out).alias("_v"))
-             .select(conv_col,
-                     F.col("_v.i").alias(idx_col),
-                     F.col("_v.code").alias("code")))
+    order = [idx_col] + ([ts_col] if ts_col else []) + [role_col]
+    w = Window.partitionBy(conv_col).orderBy(
+        *[F.col(c).asc_nulls_first() for c in order])
+    wp = Window.partitionBy(conv_col)
+
+    marked = df.select(
+        conv_col, idx_col, role_col,
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wp).alias("_n"),
+        F.lag(role_col).over(w).alias("_prev_r"))
+
+    idx_type = df.schema[idx_col].dataType.simpleString()
+    i, r = F.col(idx_col), F.col(role_col)
+    first_row = F.col("_rn") == 1
+    codes = []
+
+    def st(icol, code):
+        return F.struct(icol.alias("i"), F.lit(code).alias("code"))
+
+    if zero_based:
+        # NULL idx on the first turn: NULL != 0 is NULL -> not emitted,
+        # same as the old struct-array formulation
+        codes.append(F.when(first_row & (i != 0),
+                            st(i, "first_idx_not_zero")))
+    if first_role is not None:
+        # NULL-safe: a NULL first role is not the expected opener
+        codes.append(F.when(first_row
+                            & ~r.eqNullSafe(F.lit(first_role)),
+                            st(i, "first_role")))
+    if last_role is not None:
+        codes.append(F.when((F.col("_rn") == F.col("_n"))
+                            & ~r.eqNullSafe(F.lit(last_role)),
+                            st(i, "last_role")))
+    if max_turns is not None:
+        codes.append(F.when(first_row & (F.col("_n") > max_turns),
+                            st(F.lit(None).cast(idx_type),
+                               "too_many_turns")))
+    if alternate:
+        # NULL-safe like the old element-wise compare: two consecutive
+        # NULL roles count as a repeat; the _rn >= 2 gate keeps the
+        # first turn (lag = NULL) out of the comparison
+        codes.append(F.when((F.col("_rn") >= 2)
+                            & r.eqNullSafe(F.col("_prev_r")),
+                            st(i, "role_repeat")))
+
+    arr = F.array_compact(F.array(*codes))
+    return (marked
+            .select(conv_col, arr.alias("_v"))
+            .filter(F.size("_v") > 0)
+            .select(conv_col, F.explode("_v").alias("_s"))
+            .select(conv_col,
+                    F.col("_s.i").alias(idx_col),
+                    F.col("_s.code").alias("code")))

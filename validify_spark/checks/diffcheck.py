@@ -11,20 +11,25 @@ Codes:
 - ``missing_in_left``  — exists on the right only.
 - ``text_mismatch``    — both sides have the turn, text differs.
 
-Scale shape: each side is projected to (conv_id, turn_idx, md5(text))
-BEFORE the join, so the shuffle moves a 32-char digest instead of the
-full turn text — at 100 TB that is the difference between shuffling
-the corpus and shuffling ~50 bytes/row. The join co-partitions both
-sides on the same (conv_id, turn_idx) keys: one shuffle per side, no
-broadcast needed, AQE handles skewed hot conversations. md5 is exact
-for equality-of-digest ⇒ equality-of-text up to collisions
+Scale shape: each side is projected to (conv_id, turn_idx,
+xxhash64(text)) BEFORE the join, so the shuffle moves an 8-byte digest
+instead of the full turn text — at 100 TB that is the difference
+between shuffling the corpus and shuffling ~25 bytes/row. (r6: the
+digest was md5 — a 32-char string; xxhash64 carries the same
+collision class at a quarter of the digest bytes and compares as a
+long.) The join co-partitions both sides on the same
+(conv_id, turn_idx) keys: one shuffle per side, AQE handles skewed hot
+conversations. Digest equality ⇒ text equality up to collisions
 (2^-64-scale; pass ``digest=False`` to shuffle and compare raw text).
 
-If either side has duplicate (conv_id, turn_idx) keys the join
-multiplies rows — run :func:`..checks.uniqueness_violations` /
-:func:`.ordering_violations` first; this check assumes the key is
-unique per side (it is the table's primary key in the reference
-model).
+NULL text hashes to the hash seed on both sides, so "both NULL" stays
+equal and "NULL vs value" stays a mismatch — the same verdicts as the
+eqNullSafe convention digest=False uses (review finding r2).
+
+Duplicate (conv_id, turn_idx) keys on a side multiply join rows —
+every (left dup × right dup) pair is compared and reported; run
+:func:`..checks.uniqueness_violations` / :func:`.ordering_violations`
+first if that is not what you want.
 """
 
 from __future__ import annotations
@@ -39,13 +44,15 @@ def transcript_diff(left: DataFrame, right: DataFrame,
                     digest: bool = True) -> DataFrame:
     """One row per diff violation: <conv_col>, <idx_col>, code."""
     def _side(df: DataFrame, tag: str) -> DataFrame:
-        probe = (F.md5(F.col(text_col).cast("string")) if digest
+        # digest: xxhash64 of NULL is the hash seed (a constant long),
+        # so the eqNullSafe compare below gives the same verdicts as
+        # on raw text. digest=False: NULL text probes stay NULL; the
+        # comparison is eqNullSafe, so "both NULL" is equal and
+        # "NULL vs non-NULL" mismatches. (A coalesce-to-sentinel would
+        # make a literal text equal to the sentinel string compare
+        # equal to NULL in digest=False mode — review finding.)
+        probe = (F.xxhash64(F.col(text_col).cast("string")) if digest
                  else F.col(text_col).cast("string"))
-        # NULL text probes stay NULL; the comparison below is
-        # eqNullSafe, so "both NULL" is equal and "NULL vs non-NULL"
-        # mismatches. (A coalesce-to-sentinel would make a literal
-        # text equal to the sentinel string compare equal to NULL in
-        # digest=False mode — review finding.)
         return df.select(
             F.col(conv_col).alias(conv_col),
             F.col(idx_col).alias(idx_col),

@@ -28,6 +28,24 @@ def get_spark(app_name: str = "validify-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate puts size(e)>0 below every explode
+        # with the generator expression SUBSTITUTED — for the shingling
+        # operators (5-gram regexp_extract_all over full documents) the
+        # most expensive expression in the suite then runs ~2x per row
+        # (measured in token_stats' plan: the same regex in Filter and
+        # Project). The inferred filter only pays off when exploded
+        # arrays are often empty AND a shuffle follows the generate;
+        # neither holds anywhere in this library — shingle arrays are
+        # almost never empty and every explode is consumed in-stage.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
+        # allow shuffled-hash joins when the per-partition build side
+        # fits (guide §9): skips the per-side sorts a sort-merge join
+        # pays — e.g. the transcript-diff full-outer join over digest
+        # rows. AQE's OOM guard (size checks) still applies; sort-merge
+        # remains the fallback for oversized build sides.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
