@@ -261,7 +261,12 @@ def q_must_match(spark, sf_dir):
 
 
 def q_time_ops(spark, sf_dir):
-    t = _load(spark, sf_dir, "orders")["orders"]
+    # 2-row-group orders parquet = 2 scan tasks; the weight-4 time-rule
+    # predicates are the expensive stage — shuffle the 2 needed
+    # columns, evaluate on every core
+    t = (_load(spark, sf_dir, "orders")["orders"]
+         .select("o_orderkey", "o_orderdate")
+         .repartition(spark.sparkContext.defaultParallelism))
     eng = vs.ValidationEngine(
         vs.RuleSet(rules=[
             vs.time("o_orderdate", op="before",
@@ -382,7 +387,8 @@ def q_email(spark, sf_dir):
                'user' || CAST(c_custkey AS STRING) || 'example.com'
              ELSE 'user' || CAST(c_custkey AS STRING) || '@example.com'
         END AS email
-      FROM customer""")
+      FROM customer""").repartition(
+        spark.sparkContext.defaultParallelism)
     eng = vs.ValidationEngine(
         vs.RuleSet(rules=[vs.email("email")]), key_cols=["c_custkey"])
     return eng.violations(t).select("c_custkey", "code")
@@ -794,18 +800,26 @@ def q_stats_profile(spark, sf_dir):
     engine-reproducible; per-row output is pytest-covered)."""
     from validify_spark.checks import outliers_iqr
     t = _load(spark, sf_dir, "lineitem")["lineitem"]
-    prof = stats_profile_exact(t, ["l_quantity", "l_discount",
-                                   "l_extendedprice"])
+    # project to the 3 profiled columns and repartition: the lineitem
+    # parquet has 6 row groups (6 scan tasks of 32), and the exact
+    # percentile + countDistinct aggregation is the expensive stage —
+    # the shuffle moves 3 doubles/row, the aggregation then runs on
+    # every core
+    t3 = (t.select("l_quantity", "l_discount", "l_extendedprice")
+          .repartition(spark.sparkContext.defaultParallelism))
+    prof = stats_profile_exact(t3, ["l_quantity", "l_discount",
+                                    "l_extendedprice"])
     # line-1 rows only: a uniform ~25% subset that still contains
     # every %97 order's scaled outlier at every SF. The outlier arm
     # exists to oracle-check the operator's exact mode; exact
     # interpolated percentiles are the oracle-parity path (the 100 TB
     # path is the GK sketch default), so the parity check runs on a
     # subset rather than paying a full-table exact sort per bench pass
-    priced = t.filter("l_linenumber = 1").selectExpr(
+    priced = (t.filter("l_linenumber = 1").selectExpr(
         "l_orderkey", "l_linenumber",
         "CASE WHEN l_orderkey % 97 = 0 THEN l_extendedprice * 8 "
         "ELSE l_extendedprice END AS price")
+        .repartition(spark.sparkContext.defaultParallelism))
     out = outliers_iqr(priced, ["l_orderkey", "l_linenumber"],
                        ["price"], approx=False, round_bounds=6)
     summary = (out.groupBy("column")
@@ -1176,7 +1190,11 @@ def q_cosine_topk(spark, sf_dir):
     t = _load(spark, sf_dir, "embeddings")["embeddings"]
     queries = (t.filter("vec_id < 3")
                .selectExpr("vec_id AS query_id", "embedding"))
-    return cosine_topk(t, queries, k=5)
+    # repartition the corpus side: the embeddings parquet is ONE row
+    # group (1 scan task), so the brute-force scoring otherwise runs on
+    # 1 of 32 cores (same rationale as q_dedup_jaccard)
+    corpus = t.repartition(spark.sparkContext.defaultParallelism)
+    return cosine_topk(corpus, queries, k=5)
 
 
 def q_embedding_near_dup(spark, sf_dir):

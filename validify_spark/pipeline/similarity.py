@@ -55,13 +55,24 @@ def _topk_per_key(scored: DataFrame, key_col: str, id_col: str,
     collect_list buffers one partition's rows for one key before
     slicing — bounded by partition size, never by corpus size.
 
-    Output: <key_col>, <id_col>, cosine (rounded 6), rank."""
+    Output: <key_col>, <id_col>, cosine (rounded 6), rank.
+
+    The NULL filter runs AFTER a projection that carries the
+    (nondeterministic) partition id: a plain ``.filter`` directly over
+    the caller's scored projection gets pushed into the join with the
+    whole cosine expression substituted — the plan then evaluates the
+    interpreted higher-order cosine TWICE per pair (measured in
+    cosine_topk's r5 plan: once in the BroadcastNestedLoopJoin
+    condition, once in the projection). The nondeterministic column
+    blocks that pushdown, so the cosine is computed exactly once."""
     item = F.struct((-F.col("cosine")).alias("__negcos"),
                     F.col(id_col).alias("__id"),
                     F.col("cosine").alias("__cos"))
     part = (scored
+            .select(key_col, id_col, "cosine",
+                    F.spark_partition_id().alias("__p"))
             .filter(F.col("cosine").isNotNull())
-            .groupBy(key_col, F.spark_partition_id().alias("__p"))
+            .groupBy(key_col, "__p")
             .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k)
                   .alias("__top")))
     merged = (part
@@ -88,13 +99,25 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     a partial-per-partition sorted slice + merge (see _topk_per_key), so
     no stage ever holds more than one scan partition's scores. For big
     corpora prefer lsh_ann_topk (skips scoring most of the corpus)."""
-    q = F.broadcast(queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec")))
-    scored = (corpus.select(id_col, vec_col)
+    # Precompute each side's norm ONCE (corpus norm per row, query norm
+    # per query in the broadcast) instead of per (row x query) pair —
+    # the higher-order dot/norm lambdas are interpreted per element, so
+    # this cuts the per-pair array work to the single dot product. The
+    # norm expression is identical to cosine()'s, so the quotient is
+    # bit-identical.
+    cvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qvec = F.transform(F.col("__qvec"), lambda x: x.cast("double"))
+    q = F.broadcast(queries
+                    .select(F.col(query_id_col),
+                            F.col(vec_col).alias("__qvec"))
+                    .select(query_id_col, qvec.alias("__qd"),
+                            _norm(qvec).alias("__qn")))
+    scored = (corpus.select(id_col, cvec.alias("__cd"),
+                            _norm(cvec).alias("__cn"))
               .crossJoin(q)
               .select(query_id_col, id_col,
-                      cosine(F.col(vec_col), F.col("__qvec"))
+                      (_dot(F.col("__cd"), F.col("__qd"))
+                       / (F.col("__cn") * F.col("__qn")))
                       .alias("cosine")))
     return _topk_per_key(scored, query_id_col, id_col, k)
 
