@@ -906,12 +906,6 @@ def q_drift_length(spark, sf_dir):
     return drift_report(cur, base)
 
 
-# rotation slot for q_ordering's per-call persisted base: each call
-# unpersists the PREVIOUS call's cache (bounded memory across bench
-# passes) — never a cross-pass reuse, every pass materializes its own
-_ORDERING_BASE_ROTATION: list = []
-
-
 def q_ordering(spark, sf_dir):
     """Tagged union of three sequence checks over turns derived from
     lineitem: per-pair ordering invariants (dup idx at 3→2, gap at
@@ -931,24 +925,19 @@ def q_ordering(spark, sf_dir):
     exchange. conv_id is cast to string only in each family's final
     projection — identical output, numeric shuffle/sort keys.
 
-    persist (not localCheckpoint): an AQE-executed checkpoint reports
-    UnknownPartitioning, re-adding one exchange per family; the cached
-    plan keeps its HashPartitioning(okey)
-    (canChangeCachedPlanOutputPartitioning=false default). Each call
-    builds and materializes its OWN cache inside the timed region; the
-    previous call's cache is rotated out (leak control only — never
-    reused across passes)."""
+    checkpoint_partitioned (not a plain localCheckpoint): an
+    AQE-executed checkpoint reports UnknownPartitioning, re-adding one
+    exchange per family; the helper materializes with AQE off so the
+    HashPartitioning(okey) survives. Blocks are context-cleaned when
+    the pass's DataFrame is dropped — nothing is reused across
+    passes."""
+    from validify_spark.session import checkpoint_partitioned
     _load(spark, sf_dir, "lineitem")
-    base = (spark.sql("""
+    base = checkpoint_partitioned(spark.sql("""
       SELECT l_orderkey AS okey, l_linenumber AS ln,
              l_shipdate AS ts, l_returnflag AS rf, l_linestatus AS ls
       FROM lineitem""")
-        .repartition(F.col("okey"))
-        .persist())
-    base.count()
-    while _ORDERING_BASE_ROTATION:
-        _ORDERING_BASE_ROTATION.pop().unpersist(False)
-    _ORDERING_BASE_ROTATION.append(base)
+        .repartition(F.col("okey")))
 
     t = base.select(
         F.col("okey").alias("conv_id"),

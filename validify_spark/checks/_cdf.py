@@ -87,13 +87,13 @@ def two_sample_stats(left: DataFrame, left_col: str,
     value's whole tie group — the pooled-empirical-measure integral
     form of the two-sample Cramér–von Mises statistic.
 
-    Cost note: the inputs are scanned three times (quantile cuts,
-    per-bucket counts, the stats pass) — each a 2-column projection,
-    so pushdown keeps the scans slim. When ``left``/``right`` sit on
-    expensive lineage (joins, UDF scoring), persist or checkpoint the
-    inputs first; the function deliberately does not persist
-    internally (it cannot know when the caller's last action runs, so
-    an internal persist would either leak or be released too early).
+    Cost note: the three passes (quantile cuts, per-bucket counts, the
+    stats pass) read ONE materialization of the tagged union
+    (``localCheckpoint`` of the slim (v, s) projection — r6; the blocks
+    are released by the context cleaner once the returned DataFrame is
+    dropped, so nothing outlives the caller's last action). Inputs on
+    expensive lineage (joins, UDF scoring) are therefore computed
+    exactly once regardless.
     """
     right_col = right_col or left_col
     spark = left.sparkSession
@@ -107,7 +107,8 @@ def two_sample_stats(left: DataFrame, left_col: str,
     p = min(num_partitions or spark.sparkContext.defaultParallelism,
             256)
 
-    u = tagged_union(left, left_col, right, right_col)
+    u = (tagged_union(left, left_col, right, right_col)
+         .localCheckpoint(eager=True))
     ub = bucketed(u, p)
     by_b, offsets, n0, n1 = bucket_stats(ub, with_minmax=True)
     if n0 == 0 or n1 == 0:

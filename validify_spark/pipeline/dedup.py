@@ -136,9 +136,10 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     - sa/sb ride the pair groupBy as (functionally dependent) grouping
       keys, so the old post-aggregation re-joins against sizes are
       gone."""
-    sh = (word_shingles(df, id_col, text_col, n)
-          .repartition(F.col("shingle"))
-          .localCheckpoint(eager=True))
+    from ..session import checkpoint_partitioned
+    sh = checkpoint_partitioned(
+        word_shingles(df, id_col, text_col, n)
+        .repartition(F.col("shingle")))
     if max_df is not None:
         hot = (sh.groupBy("shingle")
                  .agg(F.count(F.lit(1)).alias("df"))
@@ -157,9 +158,13 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     b = (sh_use
          .join(sizes.withColumnRenamed("set_size", "sb"), id_col)
          .select(F.col(id_col).alias("id_b"), "sb", "shingle"))
-    # lossless prefilter: implied by the final (rounded) jaccard filter
+    # lossless prefilter: implied by the final (rounded) jaccard filter.
+    # shuffle_hash hint: both sides are co-partitioned reads of the
+    # checkpointed shingle relation (no stats -> the planner would
+    # default to sort-merge and pay two per-partition sorts for an
+    # exchange-free join)
     t_eff = max(threshold - 1e-6, 0.0)
-    inter = (a.join(b, "shingle")
+    inter = (a.join(b.hint("shuffle_hash"), "shingle")
               .filter((F.col("id_a") < F.col("id_b"))
                       & (F.least("sa", "sb") * (1.0 + t_eff)
                          >= t_eff * (F.col("sa") + F.col("sb"))))

@@ -12,6 +12,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def checkpoint_partitioned(df):
+    """``localCheckpoint(eager=True)`` that PRESERVES the plan's output
+    partitioning. Under AQE the materialized plan is an
+    AdaptiveSparkPlan, which reports UnknownPartitioning to the
+    LogicalRDD wrapper — every downstream join/groupBy on the
+    partitioning key then re-exchanges (measured in r6's jaccard and
+    ordering plans). Disabling AQE for just the materialization keeps
+    the HashPartitioning visible, so co-partitioned consumers run
+    exchange-free; the checkpointed data is identical either way."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def get_spark(app_name: str = "validify-spark",
               cpus: int | str | None = None,
               shuffle_partitions: int | None = None,
