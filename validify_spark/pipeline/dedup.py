@@ -309,12 +309,15 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
     Output: <id_col>, h0..h{num_perm-1}."""
     sh = word_shingles(df, id_col, text_col, n)
-    aggs = [
+    return sh.groupBy(id_col).agg(*_minhash_aggs(num_perm))
+
+
+def _minhash_aggs(num_perm: int) -> list:
+    return [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
          .alias(f"h{i}")
         for i in range(num_perm)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -325,9 +328,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     Jaccard. With num_perm=16, bands=4 (rows r=4), collision prob at
     jaccard s is 1-(1-s^4)^4 — the usual S-curve centered near 0.7.
 
-    Output: id_a, id_b, jaccard (exact, ≥ threshold)."""
+    Output: id_a, id_b, jaccard (exact, ≥ threshold).
+
+    The shingle relation is materialized ONCE (r6,
+    ``checkpoint_partitioned`` by doc id): the signature aggregation,
+    the set sizes and the verify join all consume it exchange-free —
+    previously the scan+regex+explode pipeline ran once per consumer
+    (the same measured no-exchange-reuse failure jaccard_pairs
+    documents)."""
+    from ..session import checkpoint_partitioned
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    sh = checkpoint_partitioned(
+        word_shingles(df, id_col, text_col, n)
+        .repartition(F.col(id_col)))
+    sig = sh.groupBy(id_col).agg(*_minhash_aggs(num_perm))
     # ONE signature scan: all bands' bucket hashes in a single
     # projection, posexploded to (band, bucket) rows; the self-join on
     # (band, bucket) replaces the old union of per-band branches that
@@ -346,8 +360,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
              .select("id_a", "id_b")
              .distinct())
 
-    # exact-verify candidates (cheap: |candidates| << all pairs)
-    sh = word_shingles(df, id_col, text_col, n)
+    # exact-verify candidates (cheap: |candidates| << all pairs) —
+    # reads the SAME materialized shingle relation as the signatures
     sizes = _doc_sizes(sh, id_col)
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b_ = sh.select(F.col(id_col).alias("id_b"), "shingle")
