@@ -473,7 +473,8 @@ def _gate_expr(rule: Rule) -> Optional[Column]:
 
 
 def pass_expr(rule: Rule, schema: T.StructType,
-              run_ts: _dt.datetime, df=None) -> Column:
+              run_ts: _dt.datetime, df=None,
+              prefilter: bool = False) -> Column:
     """Compact boolean pass-predicate for a rule: True ⇔ the row has no
     violation. NULL results mean "not proven ok" — callers must coalesce
     to False (a NULL predicate outcome is a violation, matching
@@ -483,12 +484,29 @@ def pass_expr(rule: Rule, schema: T.StructType,
     the engine filters rows on the conjunction of pass_exprs (small
     expression → whole-stage codegen) and builds the expensive
     violation structs only for the failing minority.
+
+    ``prefilter=True`` (r6) returns a SOUND UNDER-approximation of pass
+    for the two-tier validator kinds whose full verdict needs the Arrow
+    UDF tier: only the pure-codegen fast path may answer True (fast
+    True ⇒ valid by construction), so a slow-tier-valid row is merely
+    over-captured into phase 2, where the exact expression evaluates it
+    and emits no violation. The engine's violations() prefilter is the
+    ONLY caller — it moves the JVM↔Python boundary off the full-table
+    scan entirely (guide §4): the UDF then runs over the post-barrier
+    failing minority instead of every row. Exact-verdict consumers
+    (with_valid_flag, partition_report, coverage_report) keep the
+    default. Applied to email/url only: their fast paths decide the
+    overwhelming majority by design; `phone` has no sufficient pure-SQL
+    validity condition (over-capturing every row would shuffle the
+    whole table into phase 2), and an `ip any` rule over v6-heavy data
+    would pay the same — both stay exact in phase 1.
     """
     g = _gate_expr(rule)
     if g is not None:
         ungated = replace(rule, params={
             k: v for k, v in rule.params.items() if k != "_gate"})
-        return F.when(g, pass_expr(ungated, schema, run_ts, df)) \
+        return F.when(g, pass_expr(ungated, schema, run_ts, df,
+                                   prefilter)) \
                 .otherwise(F.lit(True))
     if rule.kind == "schema":
         pred = rule.params["predicate"]
@@ -499,10 +517,22 @@ def pass_expr(rule: Rule, schema: T.StructType,
         return F.size(_compile_map_values(rule, schema, run_ts)) == 0
     c = F.col(rule.column)
     dtype = resolve_type(schema, rule.column)
-    ok, _ = ok_and_params(rule, c, dtype, run_ts, schema)
+    if prefilter and rule.kind in ("email", "url"):
+        ok = _fast_path_ok(rule, c)
+    else:
+        ok, _ = ok_and_params(rule, c, dtype, run_ts, schema)
     if rule.kind == "required":
         return ok
     return c.isNull() | ok
+
+
+def _fast_path_ok(rule: Rule, c: Column) -> Column:
+    """Codegen-only sufficient-validity condition for the two-tier
+    kinds: True ⇒ the full two-tier verdict is also True. Rows it
+    cannot prove valid fall through to phase 2's exact expression."""
+    if rule.kind == "email":
+        return V.email_ok_fast(c)
+    return V.url_ok_fast(c)
 
 
 def compile_rule(rule: Rule, schema: T.StructType,

@@ -181,12 +181,18 @@ class ValidationEngine:
                 if C.resolve_type(schema, c) is None]
 
     # -- violations --------------------------------------------------------
-    def _pass_all(self, df: DataFrame):
+    def _pass_all(self, df: DataFrame, prefilter: bool = False):
         """Phase-1 predicate: True ⇔ row has NO violation. Compact
         conjunction of per-rule pass predicates — stays inside
         whole-stage codegen even for large rulesets, unlike the full
         violation-struct expression (which can exceed codegen method
-        limits and fall back to interpreted eval)."""
+        limits and fall back to interpreted eval).
+
+        ``prefilter=True`` (violations() only) lets two-tier validator
+        kinds answer with their pure-codegen fast path — a sound
+        under-approximation of pass, so phase 1 may over-capture rows
+        that phase 2's exact expressions then clear; the Arrow UDF tier
+        leaves the full-table scan entirely (compiler.pass_expr)."""
         schema = df.schema
 
         def p(rule):
@@ -197,7 +203,8 @@ class ValidationEngine:
                     return F.when(g, F.lit(False)).otherwise(F.lit(True))
                 return F.lit(False)
             return F.coalesce(
-                C.pass_expr(rule, schema, self.run_ts, df), F.lit(False))
+                C.pass_expr(rule, schema, self.run_ts, df,
+                            prefilter=prefilter), F.lit(False))
 
         presence = self.ruleset.presence_rules
         mains = self.ruleset.main_rules
@@ -331,7 +338,7 @@ class ValidationEngine:
         # compiled; the shuffle moves only failing rows (violation
         # minority), which is also the natural partitioning for
         # writing the violations table.
-        failing = src.filter(~self._pass_all(src))
+        failing = src.filter(~self._pass_all(src, prefilter=True))
         if barrier:
             if self.key_cols:
                 failing = failing.repartition(
