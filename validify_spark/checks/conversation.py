@@ -18,9 +18,9 @@ Codes:
 
 Scale shape: ONE shuffle — a window partitioned by conv_id, ordered by
 (turn_idx[, ts], role): ``lag(role)`` answers role_repeat,
-``row_number`` marks the first/last turns, an unordered count-over-
-partition answers too_many_turns, and every code is a compiled
-``when`` over those — no collected array, no interpreted higher-order
+``row_number`` marks the first turn, a lead-based flag marks the last
+(where row_number equals the group size, answering too_many_turns), and
+every code is a compiled ``when`` over those — no collected array, no interpreted higher-order
 lambdas. (r6: the previous collect_list + array_sort + per-element
 ``transform`` formulation spent most of its time in interpreted lambda
 evaluation over every turn; the window form computes the identical
@@ -67,12 +67,16 @@ def conversation_shape_violations(
     order = [idx_col] + ([ts_col] if ts_col else []) + [role_col]
     w = Window.partitionBy(conv_col).orderBy(
         *[F.col(c).asc_nulls_first() for c in order])
-    wp = Window.partitionBy(conv_col)
 
+    # ONE window spec for everything: lag answers role_repeat,
+    # row_number marks the first turn, and a lead-based last-row flag
+    # replaces the separate unordered count-over-partition (at the last
+    # row, row_number IS the group size, so too_many_turns reads _rn
+    # there) — one Window operator instead of two.
     marked = df.select(
         conv_col, idx_col, role_col,
         F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(wp).alias("_n"),
+        F.lead(F.lit(1)).over(w).isNull().alias("_last"),
         F.lag(role_col).over(w).alias("_prev_r"))
 
     idx_type = df.schema[idx_col].dataType.simpleString()
@@ -94,11 +98,14 @@ def conversation_shape_violations(
                             & ~r.eqNullSafe(F.lit(first_role)),
                             st(i, "first_role")))
     if last_role is not None:
-        codes.append(F.when((F.col("_rn") == F.col("_n"))
+        codes.append(F.when(F.col("_last")
                             & ~r.eqNullSafe(F.lit(last_role)),
                             st(i, "last_role")))
     if max_turns is not None:
-        codes.append(F.when(first_row & (F.col("_n") > max_turns),
+        # emitted once per conversation (at its last row, where _rn =
+        # group size); the attachment row is invisible in the output —
+        # the struct carries a NULL idx either way
+        codes.append(F.when(F.col("_last") & (F.col("_rn") > max_turns),
                             st(F.lit(None).cast(idx_type),
                                "too_many_turns")))
     if alternate:
