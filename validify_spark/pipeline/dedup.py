@@ -112,17 +112,40 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     Execution shape (r6, measured at sf1.0 — 55k docs, 2.88M shingle
     rows, 154M raw candidate-pair rows):
 
-    - The shingle relation is materialized ONCE (``localCheckpoint``,
-      hash-partitioned by shingle). r5 relied on exchange reuse to
-      serve the four consumers (hot-shingle agg, both self-join sides,
-      sizes) from one shuffle; the executed plan shows reuse never
-      fires (0 ReusedExchange nodes) and the shingling
-      scan+regex+exchange ran 4-8x per query. With the checkpoint every
-      consumer reads the materialized blocks and the self-join is
-      co-partitioned — zero further exchanges on the shingle side. At
-      corpus scale the blocks are executor memory+disk; a lost executor
-      fails the job (same trade simhash_pairs documents — its
-      ``checkpoint_dir`` seam is the durable variant).
+    - **Set-digest collapsing** (r6b): docs with IDENTICAL shingle sets
+      are collapsed to one representative (md5 of the sorted distinct
+      shingle array) BEFORE the quadratic pair machinery, and results
+      are expanded back afterwards. Exact by construction: two docs
+      with equal sets have jaccard 1.0 with each other and identical
+      (intersection, jaccard) against any third doc, so intra-group
+      pairs are emitted directly (j = round(1.0, 6)) and every
+      rep-level pair expands to all member cross pairs with the same
+      numbers. Near-dup corpora are dominated by exact-duplicate
+      clusters (measured: a 10x-clustered 55k-doc corpus collapses to
+      5k reps, shrinking the inverted-index join output ~100x); on a
+      fully-distinct corpus the collapse is a no-op costing one narrow
+      groupBy over doc digests. A pathological mega exact-dup cluster
+      makes the members array (and the operator's own quadratic pair
+      OUTPUT) large — route such corpora through exact_duplicates
+      first, as pipeline/corpus.py already does.
+    - The rep-level shingle relation is materialized ONCE
+      (``localCheckpoint``, hash-partitioned by shingle). r5 relied on
+      exchange reuse to serve the consumers (hot-shingle agg, both
+      self-join sides, sizes) from one shuffle; the executed plan
+      shows reuse never fires (0 ReusedExchange nodes) and the
+      shingling scan+regex+exchange ran 4-8x per query. With the
+      checkpoint every consumer reads the materialized blocks and the
+      self-join is co-partitioned — zero further exchanges on the
+      shingle side. At corpus scale the blocks are executor
+      memory+disk; a lost executor fails the job (same trade
+      simhash_pairs documents — its ``checkpoint_dir`` seam is the
+      durable variant).
+    - ``max_df`` document frequencies are computed with group-size
+      WEIGHTS (sum of member counts per shingle), so the hot-shingle
+      set is identical to the uncollapsed computation; capped sizes
+      are per-rep counts over the surviving shingle universe and
+      groups whose capped set is empty emit no pairs (matching the
+      uncollapsed behavior where such docs vanish from the index).
     - Set sizes are attached to BOTH join sides up front and the join
       is prefiltered with the lossless size-ratio bound implied by
       ``jaccard >= threshold``: intersection <= min(sa, sb) and
@@ -133,52 +156,131 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
       evaluated at t-1e-6 because the final filter reads the ROUNDED
       jaccard — every pair the final filter can keep satisfies it, so
       the result set is bit-identical.
-    - sa/sb ride the pair groupBy as (functionally dependent) grouping
-      keys, so the old post-aggregation re-joins against sizes are
-      gone."""
+    - the pair groupBy keys are the two ids only; sa/sb (functionally
+      dependent on the ids) ride as first() aggregates — measured
+      faster than carrying them as grouping keys (narrower hash keys),
+      and there are no post-aggregation re-joins against sizes.
+
+    Duplicate ``id_col`` values: like the pre-collapse implementation,
+    this operator assumes ids are unique (rows sharing an id are
+    treated as distinct docs by digest, not merged)."""
     from ..session import checkpoint_partitioned
+    from .text import word_shingles_expr
+
+    # one regex pass per doc, no explode: the sorted distinct shingle
+    # array is both the digest input and (exploded, reps only) the
+    # inverted index. The regex runs in the SCAN stage, whose
+    # parallelism is capped by parquet row-group count (measured: a
+    # single-row-group documents table ran the whole shingling regex
+    # on 1 task of 32) — spread the slim (id, text) projection first
+    # when the source has fewer partitions than cores; on a real
+    # cluster the input is already wide and this is a no-op.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(F.col(id_col).alias("__id"),
+                    F.col(text_col).alias("__text"))
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    ts = F.array_sort(F.array_distinct(
+        word_shingles_expr(F.col("__text"), n)))
+    groups = (src.select(F.col("__id"), ts.alias("__ts"))
+              .filter(F.size("__ts") > 0)
+              .groupBy(F.md5(F.to_json("__ts")).alias("__dg"))
+              .agg(F.min("__id").alias("__rep"),
+                   F.collect_list("__id").alias("__members"),
+                   F.first("__ts").alias("__ts"))
+              .select("__rep", "__members",
+                      F.size("__members").cast("long").alias("__m"),
+                      "__ts", F.size("__ts").cast("long").alias("__fsz"))
+              .localCheckpoint(eager=True))
+
     sh = checkpoint_partitioned(
-        word_shingles(df, id_col, text_col, n)
+        groups.select(F.col("__rep"), F.col("__m"), F.col("__fsz"),
+                      F.explode("__ts").alias("shingle"))
         .repartition(F.col("shingle")))
     if max_df is not None:
+        # df weighted by group size == doc-level document frequency
         hot = (sh.groupBy("shingle")
-                 .agg(F.count(F.lit(1)).alias("df"))
+                 .agg(F.sum("__m").alias("df"))
                  .filter(F.col("df") > max_df)
                  .select("shingle"))
         sh_use = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # capped sizes over the SAME shingle universe as the
+        # intersections (one row per REP — cheap)
+        sizes = (sh_use.groupBy("__rep")
+                 .agg(F.count(F.lit(1)).alias("__sz"))
+                 .localCheckpoint(eager=True))
     else:
-        sh_use = sh
-    # sizes over the SAME shingle universe as the intersections —
-    # capped sizes keep the Jaccard ratio consistent under max_df.
-    # Materialized: it feeds both join sides (tiny — one row per doc).
-    sizes = _doc_sizes(sh_use, id_col).localCheckpoint(eager=True)
-    a = (sh_use
-         .join(sizes.withColumnRenamed("set_size", "sa"), id_col)
-         .select(F.col(id_col).alias("id_a"), "sa", "shingle"))
-    b = (sh_use
-         .join(sizes.withColumnRenamed("set_size", "sb"), id_col)
-         .select(F.col(id_col).alias("id_b"), "sb", "shingle"))
+        sh_use = sh.withColumnRenamed("__fsz", "__sz")
+        sizes = groups.select("__rep",
+                              F.col("__fsz").alias("__sz"))
+
+    if max_df is not None:
+        a = (sh_use.join(sizes.withColumnRenamed("__sz", "sa"), "__rep")
+             .select(F.col("__rep").alias("id_a"), "sa", "shingle"))
+        b = (sh_use.join(sizes.withColumnRenamed("__sz", "sb"), "__rep")
+             .select(F.col("__rep").alias("id_b"), "sb", "shingle"))
+    else:
+        a = sh_use.select(F.col("__rep").alias("id_a"),
+                          F.col("__sz").alias("sa"), "shingle")
+        b = sh_use.select(F.col("__rep").alias("id_b"),
+                          F.col("__sz").alias("sb"), "shingle")
     # lossless prefilter: implied by the final (rounded) jaccard filter.
     # shuffle_hash hint: both sides are co-partitioned reads of the
     # checkpointed shingle relation (no stats -> the planner would
     # default to sort-merge and pay two per-partition sorts for an
     # exchange-free join)
     t_eff = max(threshold - 1e-6, 0.0)
-    inter = (a.join(b.hint("shuffle_hash"), "shingle")
-              .filter((F.col("id_a") < F.col("id_b"))
-                      & (F.least("sa", "sb") * (1.0 + t_eff)
-                         >= t_eff * (F.col("sa") + F.col("sb"))))
-              .groupBy("id_a", "id_b", "sa", "sb")
-              .agg(F.count(F.lit(1)).alias("intersection")))
-    return (inter
-            .withColumn("jaccard", F.round(
-                F.col("intersection")
-                / (F.col("sa") + F.col("sb")
-                   - F.col("intersection")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "intersection",
-                    F.col("sa").alias("size_a"),
-                    F.col("sb").alias("size_b"), "jaccard"))
+    rep_pairs = (a.join(b.hint("shuffle_hash"), "shingle")
+                 .filter((F.col("id_a") < F.col("id_b"))
+                         & (F.least("sa", "sb") * (1.0 + t_eff)
+                            >= t_eff * (F.col("sa") + F.col("sb"))))
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count(F.lit(1)).alias("intersection"),
+                      F.first("sa").alias("sa"),
+                      F.first("sb").alias("sb"))
+                 .withColumn("jaccard", F.round(
+                     F.col("intersection")
+                     / (F.col("sa") + F.col("sb")
+                        - F.col("intersection")), 6))
+                 .filter(F.col("jaccard") >= threshold))
+
+    # inter-group expansion: every member cross pair inherits the rep
+    # pair's numbers; sizes follow the member that lands in each slot
+    ga = groups.select(F.col("__rep").alias("id_a"),
+                       F.col("__members").alias("__ma"))
+    gb = groups.select(F.col("__rep").alias("id_b"),
+                       F.col("__members").alias("__mb"))
+    inter = (rep_pairs.join(ga, "id_a").join(gb, "id_b")
+             .select("intersection", "sa", "sb", "jaccard",
+                     F.explode("__ma").alias("__x"), "__mb")
+             .select("intersection", "sa", "sb", "jaccard", "__x",
+                     F.explode("__mb").alias("__y"))
+             .select(F.least("__x", "__y").alias("id_a"),
+                     F.greatest("__x", "__y").alias("id_b"),
+                     "intersection",
+                     F.when(F.col("__x") < F.col("__y"), F.col("sa"))
+                      .otherwise(F.col("sb")).alias("size_a"),
+                     F.when(F.col("__x") < F.col("__y"), F.col("sb"))
+                      .otherwise(F.col("sa")).alias("size_b"),
+                     "jaccard"))
+    if threshold > 1.0:
+        return inter
+    # intra-group pairs: identical sets, jaccard exactly 1.0; groups
+    # whose capped set is empty are excluded via the sizes join (the
+    # uncollapsed code drops such docs from the index entirely)
+    intra = (groups.filter(F.size("__members") >= 2)
+             .join(sizes, "__rep")
+             .select(F.col("__sz"),
+                     F.explode("__members").alias("__x"), "__members")
+             .select("__sz", "__x", F.explode("__members").alias("__y"))
+             .filter(F.col("__x") < F.col("__y"))
+             .select(F.col("__x").alias("id_a"),
+                     F.col("__y").alias("id_b"),
+                     F.col("__sz").alias("intersection"),
+                     F.col("__sz").alias("size_a"),
+                     F.col("__sz").alias("size_b"),
+                     F.round(F.lit(1.0), 6).alias("jaccard")))
+    return inter.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------
