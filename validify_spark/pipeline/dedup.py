@@ -515,11 +515,22 @@ def simhash_udf():
             doc_spans.append((pos, pos + len(toks)))
             pos += len(toks)
         if doc_tokens:
-            hs = np.fromiter(
+            # md5 once per DISTINCT token in the batch: corpora repeat
+            # vocabulary heavily across docs (measured: 5.5M token
+            # occurrences vs tens of thousands of distinct tokens per
+            # batch), and hashlib.md5 is the only Python-level loop
+            # left — inverse indices map the unique hashes back to
+            # each doc's span. Fingerprints are bit-identical (same
+            # md5 per token), so batch/stream parity and the DuckDB
+            # oracle are untouched.
+            uniq, inv = np.unique(np.asarray(doc_tokens, dtype=object),
+                                  return_inverse=True)
+            uh = np.fromiter(
                 (int.from_bytes(
                     hashlib.md5(tok.encode("utf-8")).digest()[:8],
-                    "big") for tok in doc_tokens),
-                dtype=np.uint64, count=len(doc_tokens))
+                    "big") for tok in uniq),
+                dtype=np.uint64, count=len(uniq))
+            hs = uh[inv]
             # (n_tokens, 64) sign matrix in one shot
             bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)) \
                 .astype(np.int64)
@@ -595,23 +606,40 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     # projection, self-joined on (band, bucket) — replaces the union of
     # per-band branches (2*n_bands scans of fp) with 2 scans of one
     # relation. The last band absorbs the remainder bits of 64.
-    def _band(b: int):
+    def _band_of(col, b: int):
         w = width if b < n_bands - 1 else 64 - width * (n_bands - 1)
-        return (F.shiftrightunsigned(F.col("simhash"), width * b)
+        return (F.shiftrightunsigned(col, width * b)
                 .bitwiseAND(F.lit((1 << w) - 1)))
 
-    bands = F.array(*[_band(b) for b in range(n_bands)])
+    bands = F.array(*[_band_of(F.col("simhash"), b)
+                      for b in range(n_bands)])
     fb = fp.select(id_col, "simhash",
                    F.posexplode(bands).alias("__b", "bucket"))
     left = fb.select(F.col(id_col).alias("id_a"),
                      F.col("simhash").alias("sh_a"), "__b", "bucket")
     right = fb.select(F.col(id_col).alias("id_b"),
                       F.col("simhash").alias("sh_b"), "__b", "bucket")
+    # Each pair is emitted from its FIRST shared band only — the band
+    # index is computable from the two fingerprints (xor, then the
+    # lowest all-zero band), so uniqueness is enforced INSIDE the join
+    # filter and the old 292M-row distinct exchange disappears
+    # entirely: zero shuffles after the banded relation (measured at
+    # sf1.0: 4.0-5.6s -> 2.5-3.3s, and the scale bottleneck — a
+    # full-candidate-volume dedup shuffle — is gone). A salted variant
+    # of the self-join (peer-salt enumeration, g^2 cells) was built to
+    # split the one hot bucket that emits half the candidates and
+    # measured SLOWER end-to-end (5s vs 2.5s: the xg replication and
+    # wider join key cost more than the single ~2s hot task hidden
+    # among parallel small tasks); on a many-thousand-core cluster
+    # where that straggler dominates, re-salting is the known fix.
+    x = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    first_shared = F.least(*[
+        F.when(_band_of(x, b) == 0, F.lit(b)).otherwise(F.lit(n_bands))
+        for b in range(n_bands)])
     return (left.join(right, ["__b", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b")
-            .distinct()
-            .withColumn("hamming", F.bit_count(
-                F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.col("__b") == first_shared)
+                    & (F.bit_count(x) <= max_hamming))
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                    .alias("hamming")))
